@@ -1,0 +1,185 @@
+"""Channel Vision Transformer — the channel-token ViT core.
+
+TPU-native redesign of the reference's ``PatchEmbedPerChannel`` +
+``ChannelVisionTransformer`` (``models/channel_vit.py:39-393``,
+``models/dichavit.py:39-417``). One generic core serves ChannelViT,
+ChannelViTAdapt and DiChaViT: the differences between those models are
+(a) which channel-sampling policy runs *outside* the module (HCS/DCS — see
+``ops/sampling.py``; sampling changes shapes, so it lives in the train step
+where the channel count is a static specialization), and (b) which diversity
+losses are enabled inside (CDL/TDL, ``dichavit.py:378-408``).
+
+Key layout decision: tokens stay channel-grouped ``(B, C, N, D)`` until the
+transformer blocks, which see the flat ``(B, 1 + C*N, D)`` grid in the same
+channel-major order as the reference's ``x.flatten(2).transpose(1, 2)``
+(``dichavit.py:414-415``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.initializers import conv_patch_init, normal_div8_init, scaled_orthogonal_init, trunc_normal_init
+from ..ops.losses import orthogonal_projection_loss, proxy_loss
+from ..ops.patch_embed import add_channel_embedding, per_channel_patch_embed
+from .vit import Block
+
+Dtype = Any
+
+
+def interpolate_pos_embed(pos_embed: jax.Array, h0: int, w0: int) -> jax.Array:
+    """Bicubic-resize the (1, N+1, D) positional table to an (h0, w0) grid.
+
+    Reference: ``interpolate_pos_encoding`` (``dichavit.py:518-552``).
+    """
+    n = pos_embed.shape[1] - 1
+    if h0 * w0 == n:
+        return pos_embed
+    dim = pos_embed.shape[-1]
+    side = int(math.sqrt(n))
+    grid = pos_embed[:, 1:].reshape(1, side, side, dim)
+    grid = jax.image.resize(grid, (1, h0, w0, dim), method="bicubic")
+    return jnp.concatenate([pos_embed[:, :1], grid.reshape(1, h0 * w0, dim)], axis=1)
+
+
+class ChannelVisionTransformer(nn.Module):
+    """Per-channel-token ViT backbone with optional diversity losses."""
+
+    num_total_channels: int
+    img_size: int = 224
+    patch_size: int = 16
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    use_channelvit_channels: bool = True
+    orthogonal_channel_emb_init: bool = False
+    freeze_channel_emb: bool = False
+    # DiChaViT diversity losses (dichavit.py:378-408); 0 disables
+    proxy_loss_lambda: float = 0.0
+    ortho_loss_v1_lambda: float = 0.0
+    proxy_orthogonal_init: bool = False
+    gamma_s: float = 1.0
+    gamma_d: float = 0.5
+    reverse_pos_pairs: bool = False
+    use_square: bool = False
+    temperature: float = 0.11111  # channel_scale = sqrt(1/T) (dichavit.py:60)
+    attention_impl: str = "auto"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        channel_ids: jax.Array,
+        *,
+        train: bool,
+        channel_embed_override: Optional[jax.Array] = None,
+    ):
+        """x: (B, C, H, W) with channels already selected/gathered;
+        channel_ids: (C,) global channel ids indexing the embedding table.
+        Returns (cls_emb (B, D) float32, extra_loss scalar float32).
+        """
+        b, c, h, w = x.shape
+        p = self.patch_size
+        n = (h // p) * (w // p)
+
+        proj_kernel = self.param("proj_kernel", conv_patch_init(p * p), (p * p, self.embed_dim))
+        proj_bias = self.param("proj_bias", nn.initializers.zeros, (self.embed_dim,))
+        tokens = per_channel_patch_embed(
+            x.astype(self.dtype), proj_kernel.astype(self.dtype), proj_bias.astype(self.dtype), patch_size=p
+        )  # (B, C, N, D)
+
+        extra_loss = jnp.float32(0.0)
+        if train and self.ortho_loss_v1_lambda > 0:
+            # TDL on post-projection, pre-channel-offset tokens (dichavit.py:377-391)
+            extra_loss += self.ortho_loss_v1_lambda * orthogonal_projection_loss(
+                tokens,
+                gamma_s=self.gamma_s,
+                gamma_d=self.gamma_d,
+                reverse_pos_pairs=self.reverse_pos_pairs,
+                use_square=self.use_square,
+            )
+
+        if self.use_channelvit_channels:
+            emb_init = (
+                scaled_orthogonal_init()
+                if self.orthogonal_channel_emb_init
+                else trunc_normal_init(std=0.02)
+            )
+            channel_embed = self.param(
+                "channel_embed", emb_init, (self.num_total_channels, self.embed_dim)
+            )
+            if self.freeze_channel_emb:
+                channel_embed = jax.lax.stop_gradient(channel_embed)
+            if channel_embed_override is not None:
+                sel_embed = channel_embed_override
+            else:
+                sel_embed = jnp.take(channel_embed, channel_ids, axis=0)  # (C, D)
+
+            if self.proxy_loss_lambda > 0:
+                # CDL (dichavit.py:399-404): channel embeddings vs per-channel proxies
+                proxy_init = (
+                    scaled_orthogonal_init() if self.proxy_orthogonal_init else normal_div8_init()
+                )
+                channel_emb_proxies = self.param(
+                    "channel_emb_proxies", proxy_init, (self.num_total_channels, self.embed_dim)
+                )
+                if train and sel_embed.ndim == 2:
+                    sel_proxies = jnp.take(channel_emb_proxies, channel_ids, axis=0)
+                    channel_scale = math.sqrt(1.0 / self.temperature)
+                    extra_loss += self.proxy_loss_lambda * proxy_loss(
+                        sel_proxies, sel_embed, jnp.eye(c, dtype=jnp.float32), channel_scale
+                    )
+
+            tokens = add_channel_embedding(tokens, sel_embed.astype(self.dtype))
+
+        # flatten to the channel-major token grid + CLS (dichavit.py:414-415, :560-565)
+        tokens = tokens.reshape(b, c * n, self.embed_dim)
+        cls_token = self.param("cls_token", trunc_normal_init(std=0.02), (1, 1, self.embed_dim))
+        pos_embed = self.param(
+            "pos_embed",
+            trunc_normal_init(std=0.02),
+            (1, (self.img_size // p) ** 2 + 1, self.embed_dim),
+        )
+        pos = interpolate_pos_embed(pos_embed, h // p, w // p).astype(self.dtype)
+        # per-channel replication of the positional table (dichavit.py:549-552)
+        tokens = tokens + jnp.tile(pos[:, 1:], (1, c, 1))
+        cls = jnp.broadcast_to(cls_token.astype(self.dtype) + pos[:, :1], (b, 1, self.embed_dim))
+        xseq = jnp.concatenate([cls, tokens], axis=1)
+        xseq = nn.Dropout(self.drop_rate, deterministic=not train)(xseq)
+
+        dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
+        for i in range(self.depth):
+            xseq = Block(
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                drop=self.drop_rate,
+                attn_drop=self.attn_drop_rate,
+                drop_path=dpr[i],
+                attention_impl=self.attention_impl,
+                dtype=self.dtype,
+                name=f"block_{i}",
+            )(xseq, train=train)
+
+        xseq = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(xseq)
+        return xseq[:, 0].astype(jnp.float32), extra_loss
+
+
+# size presets mirroring channelvit_{tiny,small,base,distill} (dichavit.py:676-745)
+SIZE_PRESETS = {
+    "tiny": dict(embed_dim=192, depth=12, num_heads=3),
+    "small": dict(embed_dim=384, depth=12, num_heads=6),
+    "base": dict(embed_dim=768, depth=12, num_heads=12),
+    "distill": dict(embed_dim=384, depth=12, num_heads=6),
+}

@@ -1,0 +1,135 @@
+"""Flax ViT building blocks.
+
+TPU-native counterpart of the reference's DINO-style ViT pieces
+(``models/vit.py``): ``Mlp`` (:59), ``Attention`` (:101-144, with the
+xFormers/SDPA variants :232-264 replaced by the Pallas flash kernel),
+``DropPath`` (:37-56) and ``Block`` (:346-399).
+
+Initialization matches the reference's ``_init_weights``
+(``channel_vit.py:509-516``): Dense kernels trunc-normal(std=0.02), zero
+biases, LayerNorm (1, 0). GELU is the exact (erf) form, matching torch's
+``nn.GELU`` default.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import multi_head_attention
+from ..ops.initializers import trunc_normal_init
+
+Dtype = Any
+
+dense_init = trunc_normal_init(std=0.02)
+
+
+class Mlp(nn.Module):
+    hidden_features: int
+    out_features: int
+    drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        x = nn.Dense(self.hidden_features, kernel_init=dense_init, dtype=self.dtype, name="fc1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop, deterministic=not train)(x)
+        x = nn.Dense(self.out_features, kernel_init=dense_init, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.drop, deterministic=not train)(x)
+        return x
+
+
+class DropPath(nn.Module):
+    """Stochastic depth, per sample (reference ``vit.py:37-56``)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        if self.rate == 0.0 or not train:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class Attention(nn.Module):
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    impl: str = "auto"  # auto | pallas | xla
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        b, n, c = x.shape
+        head_dim = c // self.num_heads
+        sm_scale = self.qk_scale or head_dim**-0.5
+
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=dense_init, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))  # (B, H, N, dh)
+
+        impl = self.impl
+        if self.attn_drop > 0.0 and train:
+            impl = "xla"  # attention-prob dropout only exists on the dense path
+        out = multi_head_attention(q, k, v, sm_scale=sm_scale, impl=impl)
+        if self.attn_drop > 0.0 and train:
+            # dropout is applied to the attention output here (the dense-path
+            # prob dropout of vit.py:128 is distribution-equivalent at p->0;
+            # all reference recipes use attn_drop=0)
+            out = nn.Dropout(self.attn_drop, deterministic=False)(out)
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        out = nn.Dense(c, kernel_init=dense_init, dtype=self.dtype, name="proj")(out)
+        out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
+        return out
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block (reference ``vit.py:346-399``)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    attention_impl: str = "auto"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        dim = x.shape[-1]
+        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        y = Attention(
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale,
+            attn_drop=self.attn_drop,
+            proj_drop=self.drop,
+            impl=self.attention_impl,
+            dtype=self.dtype,
+            name="attn",
+        )(y.astype(self.dtype), train=train)
+        x = x + DropPath(self.drop_path, name="drop_path1")(y, train=train)
+
+        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+        y = Mlp(
+            hidden_features=int(dim * self.mlp_ratio),
+            out_features=dim,
+            drop=self.drop,
+            dtype=self.dtype,
+            name="mlp",
+        )(y.astype(self.dtype), train=train)
+        x = x + DropPath(self.drop_path, name="drop_path2")(y, train=train)
+        return x
