@@ -1,0 +1,24 @@
+"""Parallelism: device meshes, shardings, collectives.
+
+The reference's distributed layer is NCCL DDP / DataParallel
+(``main.py:17-20``, ``trainer.py:1172-1185``). The TPU-native equivalent is
+a `jax.sharding.Mesh` with jit-inferred XLA collectives: batch sharded over
+the ``data`` axis, parameters replicated (with an optional ``model`` axis
+reserved for tensor parallelism of larger variants).
+"""
+
+from .mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+    shard_params,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "shard_params",
+]

@@ -1,0 +1,86 @@
+"""Device mesh + sharding helpers.
+
+Replaces the reference's three hardware modes (`~` single-GPU,
+``DataParallel``, ``ddp`` — ``configs/hardware/*.yaml``,
+``trainer.py:1172-1185``) with one mechanism: an N-D ``jax.sharding.Mesh``.
+Data parallelism = batch sharded over the ``data`` axis; the gradient
+all-reduce the reference got from DDP's backward hook
+(``trainer.py:1185``) is inferred by XLA as a ``psum`` over ICI when the
+loss is jitted with replicated parameter shardings.
+
+The ``model`` axis is reserved for tensor parallelism (unused by the
+reference's 22M-param models but first-class here so larger variants shard
+without redesign).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    mesh_cfg: Optional[Dict[str, int]] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a mesh from a {axis: size} config; -1 = all remaining devices.
+
+    Default is a 1-D data mesh over every visible device — the TPU
+    equivalent of DDP over all local GPUs (``main.py:17-20``).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    mesh_cfg = dict(mesh_cfg or {"data": -1, "model": 1})
+    n = len(devices)
+    fixed = 1
+    wildcard_axis = None
+    for axis, size in mesh_cfg.items():
+        if size == -1:
+            if wildcard_axis is not None:
+                raise ValueError("Only one mesh axis may be -1")
+            wildcard_axis = axis
+        else:
+            fixed *= size
+    if wildcard_axis is not None:
+        if n % fixed != 0:
+            raise ValueError(f"{n} devices not divisible by fixed axes {fixed}")
+        mesh_cfg[wildcard_axis] = n // fixed
+    shape = tuple(mesh_cfg.values())
+    if int(np.prod(shape)) != n:
+        raise ValueError(f"Mesh {mesh_cfg} does not cover {n} devices")
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, tuple(mesh_cfg.keys()))
+
+
+def batch_sharding(mesh: Mesh, *, axis: str = "data") -> NamedSharding:
+    """Leading-dim (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh, *, axis: str = "data") -> Any:
+    """Place a host batch pytree on the mesh, sharded along dim 0.
+
+    Scalars / rank-0 leaves are replicated (e.g. per-batch PRNG keys).
+    """
+    data_sh = batch_sharding(mesh, axis=axis)
+    repl = replicated_sharding(mesh)
+
+    def place(x):
+        x = np.asarray(x) if not isinstance(x, jax.Array) else x
+        if getattr(x, "ndim", 0) == 0:
+            return jax.device_put(x, repl)
+        return jax.device_put(x, data_sh)
+
+    return jax.tree_util.tree_map(place, batch)
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """Replicate a parameter pytree across the mesh (pure data parallelism)."""
+    repl = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), params)

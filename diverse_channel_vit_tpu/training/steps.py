@@ -1,0 +1,228 @@
+"""Jitted train / eval steps.
+
+Everything the reference Trainer does per batch in Python —
+autocast forward (``trainer.py:861``), per-chunk backward accumulation
+(:846-931), grad clipping (:925-927), scheduler ``step_update`` (:939),
+wd-schedule writes (:940-948) — is one compiled function here. Channel
+sampling (HCS/DCS) happens *inside* the step on device with an explicit
+PRNG key; the sampled channel count ``k`` is a static Python int, so each
+distinct k is one cached XLA specialization (shapes stay static).
+
+Two step families:
+
+- :func:`make_train_step` — fused grad+update for single-chunk datasets
+  (JUMP-CP / So2Sat, ``train_one_batch_regular`` :963-1028).
+- :func:`make_grad_step` + :func:`make_apply_step` — per-chunk gradient
+  microbatches with host-side accumulation for mixed-chunk CHAMMI batches
+  (``train_one_batch_morphem70k`` :824-931): grad-of-sum equals the
+  reference's per-chunk backward accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.wrappers import model_scale
+from ..ops.losses import cross_entropy_loss, proxy_loss
+from ..ops.sampling import dcs_select
+from .state import TrainState
+
+
+def _l2n(x, eps=1e-12):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+
+
+def proxy_logits(proxies: jax.Array, emb: jax.Array, scale) -> jax.Array:
+    """-||scale*norm(e) - scale*norm(p)||^2 logits (``loss_fn.py:7-21``)."""
+    p = scale * _l2n(proxies.astype(jnp.float32))
+    e = scale * _l2n(emb.astype(jnp.float32))
+    d2 = (
+        jnp.sum(e * e, axis=-1, keepdims=True)
+        + jnp.sum(p * p, axis=-1)[None, :]
+        - 2.0 * e @ p.T
+    )
+    return -d2
+
+
+def _select_channels(
+    params: Any,
+    x: jax.Array,
+    cids: jax.Array,
+    rng: jax.Array,
+    *,
+    k: Optional[int],
+    method: str,
+    temp: float,
+):
+    """Gather a sampled channel subset of the batch (HCS/DCS).
+
+    Returns (x_sel, cids_sel). ``k`` static; k == C or None disables.
+    """
+    c = x.shape[1]
+    if k is None or k >= c:
+        return x, cids
+    needs_embed = method not in (None, "none", "uniform")
+    emb = None
+    if needs_embed:
+        emb = jnp.take(params["backbone"]["channel_embed"], cids, axis=0)
+    else:
+        emb = jnp.zeros((c, 1), jnp.float32)
+    idx = dcs_select(rng, k, method if needs_embed else "uniform", channel_embed=emb, temp=temp)
+    return jnp.take(x, idx, axis=1), jnp.take(cids, idx)
+
+
+def _loss_and_metrics(
+    model,
+    params,
+    x,
+    cids,
+    y,
+    rng_drop,
+    *,
+    loss_type: str,
+    extra_loss_lambda: float,
+    learnable_temp: bool,
+    temperature: float,
+):
+    out, extra = model.apply(
+        {"params": params}, x, cids, train=True, rngs={"dropout": rng_drop}
+    )
+    if loss_type == "proxy":
+        scale = model_scale(params, learnable_temp, temperature)
+        logits = proxy_logits(params["proxies"], out, scale)
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        main = -jnp.mean(jnp.take_along_axis(log_probs, y[:, None], axis=-1))
+    else:
+        logits = out
+        main = cross_entropy_loss(logits, y)
+    total = main + extra_loss_lambda * extra
+    acc = jnp.mean((jnp.argmax(logits, axis=-1) == y).astype(jnp.float32))
+    metrics = {"loss": total, "main_loss": main, "extra_loss": extra, "acc": acc}
+    return total, metrics
+
+
+def make_train_step(
+    model,
+    *,
+    channel_ids: Sequence[int],
+    k: Optional[int] = None,
+    hcs_method: str = "none",
+    hcs_temp: float = 0.1,
+    loss_type: str = "ce",
+    extra_loss_lambda: float = 0.0,
+    learnable_temp: bool = False,
+    temperature: float = 0.11111,
+    donate: bool = True,
+) -> Callable[[TrainState, Dict[str, jax.Array], jax.Array], Tuple[TrainState, Dict]]:
+    """Fused grad + optimizer update for a single-chunk batch."""
+    cids_const = jnp.asarray(tuple(channel_ids), jnp.int32)
+
+    def step(state: TrainState, batch, rng):
+        rng_sample, rng_drop = jax.random.split(rng)
+        x, y = batch["image"], batch["label"]
+
+        def loss_fn(params):
+            xs, cs = _select_channels(
+                params, x, cids_const, rng_sample, k=k, method=hcs_method, temp=hcs_temp
+            )
+            return _loss_and_metrics(
+                model, params, xs, cs, y, rng_drop,
+                loss_type=loss_type,
+                extra_loss_lambda=extra_loss_lambda,
+                learnable_temp=learnable_temp,
+                temperature=temperature,
+            )
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.apply_gradients(grads=grads)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_grad_step(
+    model,
+    *,
+    channel_ids: Sequence[int],
+    k: Optional[int] = None,
+    hcs_method: str = "none",
+    hcs_temp: float = 0.1,
+    loss_type: str = "proxy",
+    extra_loss_lambda: float = 0.0,
+    learnable_temp: bool = False,
+    temperature: float = 0.11111,
+):
+    """Per-chunk gradient microbatch: returns (grads, metrics), no update.
+
+    One jitted specialization per (chunk, k); the CHAMMI mixed batch loops
+    chunks on the host and accumulates with :func:`tree_add`, which equals
+    the reference's repeated ``loss.backward()`` (``trainer.py:846-931``).
+    """
+    cids_const = jnp.asarray(tuple(channel_ids), jnp.int32)
+
+    def grad_step(params, batch, rng):
+        rng_sample, rng_drop = jax.random.split(rng)
+        x, y = batch["image"], batch["label"]
+
+        def loss_fn(p):
+            xs, cs = _select_channels(
+                p, x, cids_const, rng_sample, k=k, method=hcs_method, temp=hcs_temp
+            )
+            return _loss_and_metrics(
+                model, p, xs, cs, y, rng_drop,
+                loss_type=loss_type,
+                extra_loss_lambda=extra_loss_lambda,
+                learnable_temp=learnable_temp,
+                temperature=temperature,
+            )
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(params)
+        return grads, metrics
+
+    return jax.jit(grad_step)
+
+
+def make_apply_step(donate: bool = True):
+    """Apply accumulated grads to the state (one optimizer update)."""
+
+    def apply_step(state: TrainState, grads):
+        norm = optax.global_norm(grads)
+        new_state = state.apply_gradients(grads=grads)
+        return new_state, norm
+
+    return jax.jit(apply_step, donate_argnums=(0,) if donate else ())
+
+
+def tree_add(a, b):
+    return jax.tree_util.tree_map(jnp.add, a, b)
+
+
+def make_eval_step(model, *, donate: bool = False):
+    """Forward pass at eval: returns the model output (features or logits).
+
+    ``channel_embed_override`` carries the synthesized novel-channel
+    embeddings of the leave-one-out eval strategies
+    (``channel_vit.py:89-136``).
+    """
+
+    @functools.partial(jax.jit, static_argnames=("use_override",))
+    def eval_step(params, x, cids, override=None, *, use_override=False):
+        out, _ = model.apply(
+            {"params": params},
+            x,
+            cids,
+            train=False,
+            channel_embed_override=override if use_override else None,
+        )
+        return out
+
+    def run(params, x, cids, override=None):
+        return eval_step(params, x, cids, override, use_override=override is not None)
+
+    return run
