@@ -195,11 +195,16 @@ def load_config(
         cfg[group] = section
 
     for k, v in top.items():
-        if k in ("group_defaults",):
+        if k in ("group_defaults", "overrides"):
             continue
         cfg[k] = v
     if "tag" not in cfg:
         cfg["tag"] = None
+
+    # top-level dotted overrides (like Hydra's per-config sweeper params,
+    # ``configs/chammi_cfg.yaml:17-28``): applied before CLI overrides
+    for dotted, value in (top.get("overrides") or {}).items():
+        cfg.set_dotted(dotted, value, force=True)
 
     for dotted, value, force in sets:
         cfg.set_dotted(dotted, value, force=force)

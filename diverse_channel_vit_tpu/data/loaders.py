@@ -1,0 +1,363 @@
+"""Batch loaders: fixed-shape host batches for jitted steps.
+
+Replaces the reference's DataLoader orchestration
+(``dataset_utils.py:392-783``). Key TPU-first differences:
+
+- **Static shapes**: every batch of a loader has identical shapes; train
+  loaders drop the last partial batch, eval loaders pad it and report the
+  valid count (the jitted eval step never recompiles).
+- **Per-host sharding**: the DistributedSampler role
+  (``dataset_utils.py:502-598``) is a strided index shard per host; the
+  mesh handles per-device splitting within a host batch.
+- **Mixed-chunk batches** (CHAMMI): the reference shuffles all chunks into
+  one stream and groups each batch by chunk (``get_collate``,
+  ``dataset_utils.py:772-783``) — giving *ragged* per-chunk sub-batches and
+  a recompile per composition. Here each mixed batch carries a fixed
+  per-chunk quota proportional to chunk sizes (same expected mixture, one
+  compiled specialization per chunk).
+- **Deterministic augmentation**: per-example RNG seeded by
+  (seed, epoch, index) — reproducible regardless of worker scheduling.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .registry import DATASET_REGISTRY
+
+
+def _stack_examples(examples: List[dict]) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for key in examples[0]:
+        vals = [e[key] for e in examples]
+        if np.isscalar(vals[0]) or getattr(vals[0], "ndim", 1) == 0:
+            out[key] = np.asarray(vals)
+        else:
+            out[key] = np.stack(vals, axis=0)
+    return out
+
+
+class BatchLoader:
+    """Iterates fixed-shape batches over one dataset.
+
+    dataset must expose ``__len__`` and ``get_example(index, rng=None)``.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        *,
+        batch_size: int,
+        shuffle: bool,
+        seed: int = 0,
+        drop_last: bool = False,
+        pad_last: bool = False,
+        num_hosts: int = 1,
+        host_id: int = 0,
+        num_workers: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.pad_last = pad_last
+        self.num_hosts = num_hosts
+        self.host_id = host_id
+        self.num_workers = num_workers
+        self._epoch = 0
+        self._pool = (
+            cf.ThreadPoolExecutor(max_workers=num_workers) if num_workers > 0 else None
+        )
+
+    def set_epoch(self, epoch: int):
+        """DistributedSampler.set_epoch parity (``trainer.py:769-770``)."""
+        self._epoch = int(epoch)
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self._epoch))
+            idx = rng.permutation(n)
+        else:
+            idx = np.arange(n)
+        return idx[self.host_id :: self.num_hosts]
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _fetch(self, indices: Sequence[int]) -> List[dict]:
+        def one(i):
+            rng = np.random.default_rng((self.seed, self._epoch, int(i)))
+            return self.dataset.get_example(int(i), rng=rng)
+
+        if self._pool is not None:
+            return list(self._pool.map(one, indices))
+        return [one(i) for i in indices]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        idx = self._indices()
+        bs = self.batch_size
+        n_full = len(idx) // bs
+        for b in range(n_full):
+            batch = _stack_examples(self._fetch(idx[b * bs : (b + 1) * bs]))
+            batch["valid"] = np.ones((bs,), np.bool_)
+            yield batch
+        rem = idx[n_full * bs :]
+        if len(rem) and not self.drop_last:
+            examples = self._fetch(rem)
+            batch = _stack_examples(examples)
+            valid = np.ones((len(rem),), np.bool_)
+            if self.pad_last:
+                pad = bs - len(rem)
+                batch = {
+                    k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0)
+                    for k, v in batch.items()
+                }
+                valid = np.concatenate([valid, np.zeros((pad,), np.bool_)])
+            batch["valid"] = valid
+            yield batch
+        if not self.shuffle:
+            return
+        self._epoch += 1  # auto-advance for plain `for batch in loader` use
+
+
+class MixedChunkLoader:
+    """CHAMMI mixed-chunk train loader with fixed per-chunk quotas.
+
+    Yields ``{chunk_name: {"image": (b_c, C_c, H, W), "label": (b_c,)}}``
+    where ``b_c = round(batch_size * len_c / total)`` is constant across
+    batches — the static-shape analogue of ``make_random_instance_train_loader``
+    + ``get_collate`` (``dataset_utils.py:719-783``).
+    """
+
+    def __init__(
+        self,
+        datasets: Dict[str, object],
+        *,
+        batch_size: int,
+        seed: int = 0,
+        num_hosts: int = 1,
+        host_id: int = 0,
+        num_workers: int = 0,
+    ):
+        self.datasets = datasets
+        self.batch_size = int(batch_size)
+        self.seed = seed
+        self._epoch = 0
+        lens = {k: len(d) for k, d in datasets.items()}
+        total = sum(lens.values())
+        quotas = {k: max(1, int(round(self.batch_size * n / total))) for k, n in lens.items()}
+        # fix rounding drift so sum(quotas) == batch_size
+        drift = self.batch_size - sum(quotas.values())
+        largest = max(quotas, key=lambda k: quotas[k])
+        quotas[largest] += drift
+        self.quotas = quotas
+        self.loaders = {
+            k: BatchLoader(
+                d,
+                batch_size=quotas[k],
+                shuffle=True,
+                seed=seed + hash(k) % 10000,
+                drop_last=True,
+                num_hosts=num_hosts,
+                host_id=host_id,
+                num_workers=num_workers,
+            )
+            for k, d in datasets.items()
+        }
+
+    def set_epoch(self, epoch: int):
+        self._epoch = int(epoch)
+        for ld in self.loaders.values():
+            ld.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        return min(len(ld) for ld in self.loaders.values())
+
+    def __iter__(self):
+        iters = {k: iter(ld) for k, ld in self.loaders.items()}
+        for _ in range(len(self)):
+            yield {k: next(it) for k, it in iters.items()}
+        self._epoch += 1
+        for ld in self.loaders.values():
+            ld.set_epoch(self._epoch)
+
+
+# ---------------------------------------------------------------------------
+# class vocabularies (``dataset_utils.py:606-646``)
+# ---------------------------------------------------------------------------
+
+ALLEN_V2 = ["M0", "M1M2", "M3", "M4M5", "M6M7_complete", "M6M7_single"]
+ALLEN_V1 = ["Interphase", "Mitotic"]
+HPA_CLASSES = ["golgi apparatus", "microtubules", "mitochondria", "nuclear speckles"]
+CP_CLASSES = ["BRD-A29260609", "BRD-K04185004", "BRD-K21680192", "DMSO"]
+
+
+def get_classes(dataset: str, file_name: str = "", training_chunks: Optional[List[str]] = None):
+    if dataset in ("Allen", "CP", "HPA", "morphem70k"):
+        allen = ALLEN_V2 if "morphem70k_v2" in (file_name or "") else ALLEN_V1
+        if dataset == "Allen":
+            return allen, None
+        if dataset == "HPA":
+            return HPA_CLASSES, None
+        if dataset == "CP":
+            return CP_CLASSES, None
+        if training_chunks is None:
+            return allen + HPA_CLASSES + CP_CLASSES, None
+        out = []
+        if "Allen" in training_chunks:
+            out += allen
+        if "HPA" in training_chunks:
+            out += HPA_CLASSES
+        if "CP" in training_chunks:
+            out += CP_CLASSES
+        return out, None
+    if dataset == "so2sat_city":
+        return list(range(17)), list(range(17))
+    if dataset == "jump_cp":
+        return list(range(161)), list(range(161))
+    if dataset == "synthetic":
+        return None, None  # taken from cfg.dataset.num_classes
+    raise ValueError(f"dataset {dataset} not valid!")
+
+
+# ---------------------------------------------------------------------------
+# loader orchestration (``get_train_val_test_loaders``, dataset_utils.py:392)
+# ---------------------------------------------------------------------------
+
+
+def _build_split(name: str, cfg_dataset, chunk_channels, split: str, is_train: bool, seed: int):
+    cls = DATASET_REGISTRY.get(name)
+    if cls is None:
+        raise ValueError(f"dataset {name!r} not registered; have {sorted(DATASET_REGISTRY)}")
+    if name == "synthetic":
+        return cls(
+            split="train" if is_train else ("valid" if split == "valid" else "test"),
+            num_samples=cfg_dataset.get("num_train_samples", 512)
+            if is_train
+            else cfg_dataset.get("num_eval_samples", 128),
+            num_classes=cfg_dataset.get("num_classes", 10),
+            num_channels=len(cfg_dataset.in_channel_names),
+            img_size=cfg_dataset.get("img_size", 32),
+            seed=seed,
+        )
+    if name == "so2sat_city":
+        h5_split = "train" if split == "train" else ("valid" if split == "valid" else "test")
+        return cls(
+            cfg_dataset.root_dir,
+            split=h5_split,
+            channels=chunk_channels,
+            is_train=is_train,
+        )
+    if name == "jump_cp":
+        return cls(
+            cfg_dataset.root_dir,
+            split=split if split in ("train", "valid") else "test",
+            channels=chunk_channels,
+            is_train=is_train,
+            img_size=cfg_dataset.get("img_size", 224),
+        )
+    if name in ("morphem70k", "Allen", "HPA", "CP"):
+        return cls(
+            cfg_dataset.root_dir,
+            file_name=cfg_dataset.file_name,
+            chunk_name=chunk_channels,  # chunk name string for CHAMMI
+            is_train=is_train,
+            img_size=cfg_dataset.get("img_size", 224),
+        )
+    raise ValueError(f"dataset {name} not valid!")
+
+
+def get_train_val_test_loaders(
+    cfg,
+    chunk_name: str,
+    seed: int,
+    *,
+    num_hosts: int = 1,
+    host_id: int = 0,
+    tps_prob: float = 0.0,
+) -> Tuple[Optional[BatchLoader], Optional[BatchLoader], object]:
+    """Build (train, val, test) loaders for one chunk.
+
+    ``test`` is a dict of loaders when the chunk declares several test
+    channel subsets (so2sat test_1/test_2/test_full — the channel-robustness
+    splits the reference evaluates in ``eval_regular``).
+    """
+    name = cfg.dataset.name
+    bs = cfg.train.batch_size
+    eval_bs = cfg.eval.get("batch_size") or bs
+    nw = cfg.hardware.get("num_workers", 0) or 0
+
+    chunk_map = None
+    for entry in cfg.data_chunk.chunks:
+        entry = entry if isinstance(entry, dict) else entry.to_dict()
+        if chunk_name in entry:
+            chunk_map = entry[chunk_name]
+            break
+    if chunk_map is None:
+        raise KeyError(f"chunk {chunk_name!r} not in data_chunk config")
+
+    is_channel_map = isinstance(chunk_map, dict) or hasattr(chunk_map, "keys")
+
+    def mk(split, is_train, channels, batch, shuffle, drop_last, pad_last):
+        if name in ("morphem70k", "Allen", "HPA", "CP"):
+            ds = _build_split(name, cfg.dataset, chunk_name, split, is_train, seed)
+            if is_train:
+                ds.tps_prob = tps_prob
+        else:
+            ds = _build_split(name, cfg.dataset, channels, split, is_train, seed)
+        return BatchLoader(
+            ds,
+            batch_size=batch,
+            shuffle=shuffle,
+            seed=seed + {"train": 24122022, "valid": 21022024, "test": 21022025}.get(split.split("_")[0], 0),
+            drop_last=drop_last,
+            pad_last=pad_last,
+            num_hosts=num_hosts,
+            host_id=host_id,
+            num_workers=nw,
+        )
+
+    train_channels = chunk_map.get("train") if is_channel_map else None
+    train_loader = mk("train", True, train_channels, bs, True, True, False)
+
+    val_loader = None
+    if is_channel_map and chunk_map.get("valid") is not None:
+        val_loader = mk("valid", False, chunk_map["valid"], eval_bs, False, False, True)
+
+    if is_channel_map:
+        test_keys = sorted(k for k in chunk_map.keys() if k.startswith("test"))
+        tests = {k: mk(k, False, chunk_map[k], eval_bs, False, False, True) for k in test_keys}
+        test_loader = tests[test_keys[0]] if len(test_keys) == 1 else tests
+    else:
+        test_loader = mk("test", False, None, eval_bs, False, False, True)
+    return train_loader, val_loader, test_loader
+
+
+def make_random_instance_train_loader(
+    cfg, seed: int, *, num_hosts: int = 1, host_id: int = 0, training_chunks=None
+) -> Optional[MixedChunkLoader]:
+    """CHAMMI mixed loader (``dataset_utils.py:719-746``); None otherwise."""
+    if cfg.dataset.name != "morphem70k":
+        return None
+    chunks = training_chunks or [list(e.keys())[0] if isinstance(e, dict) else list(e.to_dict().keys())[0] for e in cfg.data_chunk.chunks]
+    datasets = {}
+    for chunk_name in chunks:
+        ds = _build_split("morphem70k", cfg.dataset, chunk_name, "train", True, seed)
+        ds.tps_prob = cfg.train.get("tps_prob", 0.0)
+        datasets[chunk_name] = ds
+    return MixedChunkLoader(
+        datasets,
+        batch_size=cfg.train.batch_size,
+        seed=seed + 2052023,
+        num_hosts=num_hosts,
+        host_id=host_id,
+        num_workers=cfg.hardware.get("num_workers", 0) or 0,
+    )

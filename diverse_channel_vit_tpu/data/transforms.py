@@ -119,16 +119,35 @@ def random_resized_crop(
 def random_pad_crop(
     rng: np.random.Generator, img: np.ndarray, pad_to: int, crop: int
 ) -> np.ndarray:
-    """Albumentations PadIfNeeded(pad_to) + RandomCrop(crop)
-    (``jump_cp_transforms.py:36-66``)."""
+    """Albumentations PadIfNeeded(min=pad_to, position=random, zeros) +
+    RandomCrop(crop) (``jump_cp_transforms.py:30-45``)."""
     c, h, w = img.shape
     if h < pad_to or w < pad_to:
         ph, pw = max(0, pad_to - h), max(0, pad_to - w)
-        img = np.pad(img, ((0, 0), (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2)), mode="reflect")
+        top_pad = int(rng.integers(0, ph + 1))
+        left_pad = int(rng.integers(0, pw + 1))
+        img = np.pad(
+            img,
+            ((0, 0), (top_pad, ph - top_pad), (left_pad, pw - left_pad)),
+            mode="constant",
+        )
         c, h, w = img.shape
     top = int(rng.integers(0, h - crop + 1))
     left = int(rng.integers(0, w - crop + 1))
     return img[:, top : top + crop, left : left + crop]
+
+
+def flip_rotate_one_of(rng: np.random.Generator, img: np.ndarray, p: float = 0.5) -> np.ndarray:
+    """A.OneOf([HFlip, VFlip, Rot90, Rot180, Rot270]) with probability p
+    (``jump_cp_transforms.py:105-113``)."""
+    if rng.random() > p:
+        return img
+    choice = int(rng.integers(0, 5))
+    if choice == 0:
+        return np.ascontiguousarray(np.flip(img, 2))  # horizontal
+    if choice == 1:
+        return np.ascontiguousarray(np.flip(img, 1))  # vertical
+    return np.ascontiguousarray(np.rot90(img, choice - 1, (1, 2)))
 
 
 # ---------------------------------------------------------------------------
@@ -168,8 +187,8 @@ def coarse_dropout(
     """Albumentations CoarseDropout (``jump_cp_transforms.py:124-130``)."""
     img = img.copy()
     c, h, w = img.shape
-    n = int(rng.integers(1, max_holes + 1))
-    for _ in range(n):
+    # albumentations default min_holes=None -> always max_holes holes
+    for _ in range(max_holes):
         y = int(rng.integers(0, max(1, h - hole_h)))
         x = int(rng.integers(0, max(1, w - hole_w)))
         img[:, y : y + hole_h, x : x + hole_w] = fill

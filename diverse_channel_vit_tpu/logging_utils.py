@@ -1,0 +1,87 @@
+"""Logging multiplexer.
+
+Counterpart of ``custom_log.py``: ``MyLogging`` (:131-250) multiplexes wandb
+metrics / python logging / stdout with a dict-message protocol (dicts are
+metrics, strings are messages); ``DummyLogger`` (:88-127) swallows everything
+on non-zero ranks. wandb is optional — absent or disabled it degrades to
+stdout, keeping the zero-egress TPU pod case first-class.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import sys
+from typing import Any, Dict, Optional, Union
+
+
+class DummyLogger:
+    """No-op logger for non-primary hosts (``custom_log.py:88-127``)."""
+
+    def info(self, *a, **k):
+        pass
+
+    def log_config(self, *a, **k):
+        pass
+
+    def finish(self, *a, **k):
+        pass
+
+
+class MyLogging:
+    def __init__(self, cfg, *, model=None, project_name: Optional[str] = None, op: str = "w"):
+        self.cfg = cfg
+        wandb_cfg = cfg.logging.get("wandb", {}) if hasattr(cfg, "logging") else {}
+        self.use_wandb = bool(wandb_cfg.get("use_wandb", False))
+        self.use_py_log = bool(cfg.logging.get("use_py_log", False)) if hasattr(cfg, "logging") else False
+        self.wandb = None
+        if self.use_wandb:
+            try:
+                import wandb
+
+                self.wandb = wandb
+                wandb.init(
+                    project=project_name or wandb_cfg.get("project_name") or "dichavit_tpu",
+                    name=wandb_cfg.get("run_name"),
+                    config=cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg),
+                )
+            except Exception as e:  # offline pod: degrade silently to stdout
+                print(f"[logging] wandb unavailable ({e}); falling back to stdout")
+                self.use_wandb = False
+        self.py_logger = None
+        if self.use_py_log:
+            self.py_logger = logging.getLogger("diverse_channel_vit_tpu")
+            if not self.py_logger.handlers:
+                h = logging.StreamHandler(sys.stdout)
+                h.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
+                self.py_logger.addHandler(h)
+                self.py_logger.setLevel(logging.INFO)
+
+    def info(self, msg: Union[str, Dict[str, Any]], sep: str = ", ", padding_space: bool = False, pref_msg: str = ""):
+        """Dict messages are metrics; strings are plain log lines
+        (``custom_log.py:162-179``)."""
+        if isinstance(msg, dict):
+            if self.use_wandb and self.wandb is not None:
+                self.wandb.log(msg)
+            line = pref_msg + " " + sep.join(f"{k}: {v}" for k, v in msg.items())
+            self._emit(line.strip())
+        else:
+            self._emit(pref_msg + msg)
+
+    def _emit(self, line: str):
+        if self.py_logger is not None:
+            self.py_logger.info(line)
+        else:
+            print(line, flush=True)
+
+    def log_config(self, cfg):
+        try:
+            self._emit("config: " + json.dumps(cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg), default=str))
+        except Exception:
+            self._emit(f"config: {cfg}")
+
+    def finish(self, msg_str: str = ""):
+        if msg_str:
+            self._emit(msg_str)
+        if self.use_wandb and self.wandb is not None:
+            self.wandb.finish()

@@ -182,4 +182,6 @@ SIZE_PRESETS = {
     "small": dict(embed_dim=384, depth=12, num_heads=6),
     "base": dict(embed_dim=768, depth=12, num_heads=12),
     "distill": dict(embed_dim=384, depth=12, num_heads=6),
+    # TPU-build addition: second-scale geometry for smoke tests / CI
+    "test": dict(embed_dim=64, depth=2, num_heads=2),
 }

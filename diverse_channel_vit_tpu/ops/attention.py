@@ -108,12 +108,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, s
         l_inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
         o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
         lse = m_scr[:, :1] + jnp.log(jnp.maximum(l_final, 1e-30))
-        lse_ref[0] = lse[:, 0]
+        # lane-aligned (1, block_q) row of the (bh, nq, 1, block_q) lse array
+        lse_ref[0, 0] = lse[:, 0][None, :]
 
 
 def _flash_fwd_impl(q, k, v, sm_scale: float, n_valid: int, block_q: int, block_k: int):
     bh, n, dh = q.shape
     nq, nk = n // block_q, n // block_k
+    # the lse layout (bh, nq, 1, block_q) needs a lane-aligned trailing dim
+    assert block_q % 128 == 0, "block_q must be a multiple of the 128-lane tile"
     kernel = functools.partial(
         _fwd_kernel, sm_scale=sm_scale, n_valid=n_valid, n_kv_blocks=nk, block_k=block_k
     )
@@ -127,11 +130,11 @@ def _flash_fwd_impl(q, k, v, sm_scale: float, n_valid: int, block_q: int, block_
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, dh), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, block_q), lambda b, qi, ki: (b, qi)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, qi, ki: (b, qi, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, n, dh), q.dtype),
-            jax.ShapeDtypeStruct((bh, n), jnp.float32),
+            jax.ShapeDtypeStruct((bh, nq, 1, block_q), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, BLOCK), jnp.float32),
@@ -170,14 +173,14 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref
     col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
     s = jnp.where(col_ids < n_valid, s, MASK_VALUE)
 
-    p = jnp.exp(s - lse_ref[0][:, None])  # (bq, bk), exact softmax probs
+    p = jnp.exp(s - lse_ref[0, 0, 0][:, None])  # (bq, bk), exact softmax probs
     dv_scr[...] += jax.lax.dot_general(
         p, do.astype(jnp.float32), (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds = p * (dp - di_ref[0][:, None]) * sm_scale
+    ds = p * (dp - di_ref[0, 0, 0][:, None]) * sm_scale
     dk_scr[...] += jax.lax.dot_general(
         ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -205,9 +208,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr,
     col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
     s = jnp.where(col_ids < n_valid, s, MASK_VALUE)
 
-    p = jnp.exp(s - lse_ref[0][:, None])
+    p = jnp.exp(s - lse_ref[0, 0, 0][:, None])
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    ds = p * (dp - di_ref[0][:, None]) * sm_scale
+    ds = p * (dp - di_ref[0, 0, 0][:, None]) * sm_scale
     dq_scr[...] += jax.lax.dot(ds, k.astype(jnp.float32), preferred_element_type=jnp.float32)
 
     @pl.when(ki == n_kv_blocks - 1)
@@ -219,6 +222,7 @@ def _flash_bwd_impl(q, k, v, o, lse, do, sm_scale, n_valid, block_q, block_k):
     bh, n, dh = q.shape
     nq, nk = n // block_q, n // block_k
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)  # (bh, n)
+    di = di.reshape(bh, nq, 1, block_q)  # lane-aligned, same layout as lse
 
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel, sm_scale=sm_scale, n_valid=n_valid, n_q_blocks=nq, block_k=block_k
@@ -231,8 +235,8 @@ def _flash_bwd_impl(q, k, v, o, lse, do, sm_scale, n_valid, block_q, block_k):
             pl.BlockSpec((1, block_k, dh), lambda b, ki, qi: (b, ki, 0)),  # k
             pl.BlockSpec((1, block_k, dh), lambda b, ki, qi: (b, ki, 0)),  # v
             pl.BlockSpec((1, block_q, dh), lambda b, ki, qi: (b, qi, 0)),  # do
-            pl.BlockSpec((1, block_q), lambda b, ki, qi: (b, qi)),  # lse
-            pl.BlockSpec((1, block_q), lambda b, ki, qi: (b, qi)),  # di
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, ki, qi: (b, qi, 0, 0)),  # lse
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, ki, qi: (b, qi, 0, 0)),  # di
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, dh), lambda b, ki, qi: (b, ki, 0)),
@@ -263,8 +267,8 @@ def _flash_bwd_impl(q, k, v, o, lse, do, sm_scale, n_valid, block_q, block_k):
             pl.BlockSpec((1, block_k, dh), lambda b, qi, ki: (b, ki, 0)),
             pl.BlockSpec((1, block_k, dh), lambda b, qi, ki: (b, ki, 0)),
             pl.BlockSpec((1, block_q, dh), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, block_q), lambda b, qi, ki: (b, qi)),
-            pl.BlockSpec((1, block_q), lambda b, qi, ki: (b, qi)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, qi, ki: (b, qi, 0, 0)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, qi, ki: (b, qi, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, dh), lambda b, qi, ki: (b, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, n, dh), q.dtype),

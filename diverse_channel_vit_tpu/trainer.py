@@ -1,0 +1,443 @@
+"""Trainer — the run orchestrator.
+
+Counterpart of the reference's monolithic ``Trainer`` (``trainer.py:58-1347``):
+builds loaders/model/optimizer/schedules/logger in ``__init__``, then runs the
+epoch loop with periodic evaluation and checkpointing. Differences are all
+TPU-idiomatic:
+
+- per-batch work is one jitted step (see ``training/steps.py``); the Python
+  loop only feeds host batches and draws the HCS channel-count ``k``
+- the HCS draw (``Cin_new ~ U[1, C]``, ``channel_vit.py:79-82``) happens on
+  the host from a seeded generator — under multi-host SPMD every host draws
+  the same k, fixing the reference's DDP nondeterminism (SURVEY §2.6)
+- one compiled specialization per (chunk, k); shapes inside are static
+- data parallelism = mesh sharding, not DDP wrappers
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import models as model_zoo
+from .data import (
+    get_classes,
+    get_train_val_test_loaders,
+    make_random_instance_train_loader,
+)
+from .logging_utils import DummyLogger, MyLogging
+from .parallel import make_mesh, shard_batch, shard_params
+from .training import (
+    create_train_state,
+    make_eval_step,
+    make_lr_schedule,
+    make_optimizer,
+)
+from .training.checkpoint import load_checkpoint, save_checkpoint
+from .training.state import param_count
+from .training.steps import (
+    make_apply_step,
+    make_grad_step,
+    make_train_step,
+    proxy_logits,
+    tree_add,
+)
+from .models.wrappers import model_scale
+from .utils.misc import AverageMeter, Timer, set_seeds
+
+SHUFFLE_ALL = "SHUFFLE_ALL"
+
+
+def _default(val, fallback):
+    return fallback if val is None else val
+
+
+class Trainer:
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.debug = bool(cfg.train.get("debug", False))
+        self.seed = int(_default(cfg.train.get("seed"), 1234))
+        self.host_rng = set_seeds(self.seed)
+        self.dataset_name = cfg.dataset.name
+        self.logger = MyLogging(cfg) if jax.process_index() == 0 else DummyLogger()
+
+        # -- mesh / precision --------------------------------------------
+        mesh_cfg = cfg.hardware.get("mesh")
+        mesh_cfg = mesh_cfg.to_dict() if hasattr(mesh_cfg, "to_dict") else mesh_cfg
+        self.mesh = make_mesh(mesh_cfg)
+        self.n_devices = self.mesh.devices.size
+        dtype_name = cfg.train.get("dtype", "bfloat16")
+        if cfg.train.get("use_amp", False):
+            dtype_name = "bfloat16"  # AMP flag parity: bf16 compute on TPU
+        self.dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+
+        # -- chunk -> channel-id mapper (trainer.py:128-150) ---------------
+        self.all_chunks = []
+        for entry in cfg.data_chunk.chunks:
+            entry = entry if isinstance(entry, dict) else entry.to_dict()
+            self.all_chunks.extend(entry.keys())
+        self.mapper = self._build_mapper()
+
+        # -- data ----------------------------------------------------------
+        self.train_loaders: Dict[str, object] = {}
+        self.val_loaders: Dict[str, object] = {}
+        self.test_loaders: Dict[str, object] = {}
+        self._build_dataset()
+
+        # -- classes -------------------------------------------------------
+        train_classes, _ = get_classes(
+            self.dataset_name,
+            cfg.dataset.get("file_name") or "",
+            training_chunks=self._training_chunk_list(),
+        )
+        if train_classes is None:
+            self.num_classes = int(cfg.dataset.get("num_classes", 10))
+        else:
+            self.num_classes = len(train_classes)
+        self.classes = train_classes
+
+        # -- model ---------------------------------------------------------
+        if not cfg.model.get("in_channel_names"):
+            cfg.model.in_channel_names = cfg.dataset.in_channel_names
+        self.model = model_zoo.build_model(
+            cfg.model.name, cfg.model, self.mapper, self.num_classes, dtype=self.dtype
+        )
+        self.learnable_temp = bool(cfg.model.get("learnable_temp", False))
+        self.temperature = float(cfg.model.get("temperature", 0.11111))
+        self.extra_loss_lambda = float(cfg.train.get("extra_loss_lambda", 0.0) or 0.0)
+        self.hcs_enabled = bool(cfg.model.get("enable_sample", False))
+        self.hcs_method = cfg.model.get("hcs_sampling", "none") or "none"
+        self.hcs_temp = float(cfg.model.get("hcs_sampling_temp", 0.1) or 0.1)
+        # CHAMMI trains with the proxy loss, single-chunk classification with
+        # CE on the head (trainer.py:156, :913, :994-999)
+        self.loss_type = "proxy" if self.dataset_name in ("morphem70k",) else "ce"
+
+        # -- schedules / optimizer ------------------------------------------
+        train_iter = self.train_loaders[SHUFFLE_ALL if SHUFFLE_ALL in self.train_loaders else self.all_chunks[0]]
+        self.updates_per_epoch = max(1, len(train_iter))
+        self.total_epochs = int(cfg.train.num_epochs)
+        total_steps = self.total_epochs * self.updates_per_epoch
+        opt_params = cfg.optimizer.get("params", {})
+        opt_params = opt_params.to_dict() if hasattr(opt_params, "to_dict") else dict(opt_params or {})
+        base_lr = float(opt_params.get("lr", 1e-3))
+        sched_params = cfg.scheduler.get("params", {})
+        sched_params = sched_params.to_dict() if hasattr(sched_params, "to_dict") else dict(sched_params or {})
+        self.lr_schedule = make_lr_schedule(
+            cfg.scheduler.get("name", "none"),
+            base_lr,
+            sched_params,
+            num_epochs=self.total_epochs,
+            steps_per_epoch=self.updates_per_epoch,
+            convert_to_batch=bool(cfg.scheduler.get("convert_to_batch", False)),
+        )
+        self.tx = make_optimizer(
+            cfg.optimizer.get("name", "adamw"),
+            opt_params,
+            lr_schedule=self.lr_schedule,
+            total_steps=total_steps,
+            clip_grad_norm=cfg.train.get("clip_grad_norm"),
+        )
+
+        # -- state -----------------------------------------------------------
+        chunk0 = self.all_chunks[0]
+        cids0 = self._chunk_channel_ids(chunk0 if self.dataset_name == "morphem70k" else "train")
+        img_size = int(cfg.dataset.get("img_size", 224))
+        sample = jnp.zeros((2, len(cids0), img_size, img_size), jnp.float32)
+        self.state = create_train_state(
+            self.model,
+            self.tx,
+            rng=jax.random.key(self.seed),
+            sample_input=sample,
+            sample_channel_ids=jnp.asarray(cids0),
+        )
+        if self.n_devices > 1:
+            self.state = self.state.replace(
+                params=shard_params(self.state.params, self.mesh),
+                opt_state=shard_params(self.state.opt_state, self.mesh),
+            )
+        self.logger.info(f"model {cfg.model.name}: {param_count(self.state.params):,} params, "
+                         f"{self.n_devices} devices, dtype {dtype_name}")
+
+        # -- step caches -----------------------------------------------------
+        self._train_steps: Dict = {}
+        self._grad_steps: Dict = {}
+        self._apply_step = make_apply_step()
+        self._eval_step = make_eval_step(self.model)
+
+        # -- checkpoints -------------------------------------------------------
+        self.checkpoints = os.path.join(
+            cfg.train.get("checkpoints", "checkpoints"), self.dataset_name,
+            time.strftime("%Y-%b-%d-%H-%M-%S") + f"--seed{self.seed}",
+        )
+        self.start_epoch = 1
+        if cfg.train.get("resume_train") and cfg.train.get("resume_model"):
+            self.state, last_epoch = load_checkpoint(
+                os.path.dirname(cfg.train.resume_model), self.state,
+                name=os.path.basename(cfg.train.resume_model),
+            )
+            self.start_epoch = last_epoch + 1
+            self.logger.info(f"resumed from {cfg.train.resume_model} at epoch {last_epoch}")
+
+    # ------------------------------------------------------------------
+    # setup helpers
+    # ------------------------------------------------------------------
+
+    def _build_mapper(self) -> dict:
+        cfg = self.cfg
+        name = self.dataset_name
+        if name == "morphem70k":
+            if len(cfg.dataset.in_channel_names) == 12:
+                return {"Allen": [0, 1, 2], "HPA": [3, 4, 5, 6], "CP": [7, 8, 9, 10, 11]}
+            return {"Allen": [5, 2, 6], "HPA": [3, 6, 5, 0], "CP": [5, 0, 7, 1, 4]}
+        # single-chunk datasets: mapper = the chunk's split->channels dict
+        entry = cfg.data_chunk.chunks[0]
+        entry = entry if isinstance(entry, dict) else entry.to_dict()
+        mapper = dict(entry[self.all_chunks[0]])
+        self.cfg.train.training_chunks = "train"
+        return mapper
+
+    def _training_chunk_list(self):
+        tc = self.cfg.train.get("training_chunks")
+        if tc in (None, "train"):
+            return None
+        return [c for c in str(tc).split("_") if c]
+
+    def _chunk_channel_ids(self, chunk_or_split: str):
+        return list(self.mapper[chunk_or_split])
+
+    def _build_dataset(self):
+        cfg = self.cfg
+        num_hosts, host_id = jax.process_count(), jax.process_index()
+        for chunk in self.all_chunks:
+            tr, va, te = get_train_val_test_loaders(
+                cfg, chunk, self.seed,
+                num_hosts=num_hosts, host_id=host_id,
+                tps_prob=cfg.train.get("tps_prob", 0.0) or 0.0,
+            )
+            self.train_loaders[chunk] = tr
+            if va is not None:
+                self.val_loaders[chunk] = va
+            self.test_loaders[chunk] = te
+        mixed = make_random_instance_train_loader(
+            cfg, self.seed, num_hosts=num_hosts, host_id=host_id,
+            training_chunks=self._training_chunk_list(),
+        )
+        if mixed is not None:
+            self.train_loaders[SHUFFLE_ALL] = mixed
+
+    # ------------------------------------------------------------------
+    # step-fn caches (one compiled specialization per (chunk, k))
+    # ------------------------------------------------------------------
+
+    def _draw_k(self, c: int) -> Optional[int]:
+        """HCS channel-count draw Cin_new ~ U[1, C] (``channel_vit.py:79-82``)."""
+        if not self.hcs_enabled:
+            return None
+        return int(self.host_rng.integers(1, c + 1))
+
+    def _get_train_step(self, channel_ids, k):
+        key = (tuple(channel_ids), k)
+        if key not in self._train_steps:
+            self._train_steps[key] = make_train_step(
+                self.model,
+                channel_ids=channel_ids,
+                k=k,
+                hcs_method=self.hcs_method,
+                hcs_temp=self.hcs_temp,
+                loss_type=self.loss_type,
+                extra_loss_lambda=self.extra_loss_lambda,
+                learnable_temp=self.learnable_temp,
+                temperature=self.temperature,
+                donate=bool(self.cfg.train.get("donate_state", True)),
+            )
+        return self._train_steps[key]
+
+    def _get_grad_step(self, channel_ids, k):
+        key = (tuple(channel_ids), k)
+        if key not in self._grad_steps:
+            self._grad_steps[key] = make_grad_step(
+                self.model,
+                channel_ids=channel_ids,
+                k=k,
+                hcs_method=self.hcs_method,
+                hcs_temp=self.hcs_temp,
+                loss_type=self.loss_type,
+                extra_loss_lambda=self.extra_loss_lambda,
+                learnable_temp=self.learnable_temp,
+                temperature=self.temperature,
+            )
+        return self._grad_steps[key]
+
+    # ------------------------------------------------------------------
+    # training
+    # ------------------------------------------------------------------
+
+    def train(self):
+        timer = Timer()
+        best_acc = 0.0
+        if not self.debug and not self.cfg.eval.get("skip_eval_first_epoch", False):
+            pass  # reference evaluates before training only in some modes
+        for epoch in range(self.start_epoch, self.total_epochs + 1):
+            train_metrics = self.train_one_epoch(epoch)
+            self.logger.info({f"train/{k}": v for k, v in train_metrics.items()}
+                             | {"epoch": epoch, "lr": float(self.lr_schedule(self.state.step))},
+                             pref_msg=f"[epoch {epoch}/{self.total_epochs}]")
+            every_n = int(self.cfg.eval.get("every_n_epochs", 1) or 1)
+            is_last = epoch == self.total_epochs
+            if (epoch % every_n == 0 or is_last) and not (
+                self.debug and self.cfg.eval.get("skip_eval_for_debug", False)
+            ):
+                if self.cfg.eval.get("only_eval_first_and_last", False) and not (
+                    epoch == 1 or is_last
+                ):
+                    pass
+                else:
+                    eval_metrics = self.evaluate_model(epoch)
+                    acc = eval_metrics.get("accuracy", 0.0)
+                    best_acc = max(best_acc, acc)
+                    self.logger.info(
+                        {f"eval/{k}": v for k, v in eval_metrics.items()} | {"epoch": epoch},
+                        pref_msg=f"[eval {epoch}]",
+                    )
+            self._maybe_save(epoch, best_acc)
+            self.logger.info(
+                f"epoch {epoch} done in {timer.lap():.1f}s, ETA {timer.eta(epoch - self.start_epoch + 1, self.total_epochs - self.start_epoch + 1):.0f}s"
+            )
+        self.logger.finish(f"training done: best_acc={best_acc:.4f}")
+        return best_acc
+
+    def train_one_epoch(self, epoch: int) -> Dict[str, float]:
+        loader_key = SHUFFLE_ALL if SHUFFLE_ALL in self.train_loaders else self.all_chunks[0]
+        loader = self.train_loaders[loader_key]
+        loader.set_epoch(epoch)
+        meters: Dict[str, AverageMeter] = {}
+        max_batches = 3 if self.debug else math.inf
+        for i, batch in enumerate(loader):
+            if i >= max_batches:
+                break
+            if loader_key == SHUFFLE_ALL:
+                metrics = self._train_one_batch_morphem(batch)
+            else:
+                metrics = self._train_one_batch_regular(batch)
+            for k, v in metrics.items():
+                meters.setdefault(k, AverageMeter(k)).update(float(v))
+            if (i + 1) % int(self.cfg.train.get("verbose_batches", 50)) == 0:
+                self.logger.info(
+                    {k: round(m.avg, 5) for k, m in meters.items()},
+                    pref_msg=f"  [e{epoch} b{i + 1}/{len(loader)}]",
+                )
+        return {k: m.avg for k, m in meters.items()}
+
+    def _device_batch(self, batch):
+        b = {"image": batch["image"], "label": batch["label"]}
+        if self.n_devices > 1:
+            return shard_batch(b, self.mesh)
+        return b
+
+    def _train_one_batch_regular(self, batch) -> Dict[str, float]:
+        cids = self._chunk_channel_ids("train")
+        k = self._draw_k(len(cids))
+        step = self._get_train_step(cids, k)
+        rng = self.state.step_rng()
+        self.state, metrics = step(self.state, self._device_batch(batch), rng)
+        return {k_: float(v) for k_, v in metrics.items()}
+
+    def _train_one_batch_morphem(self, batch) -> Dict[str, float]:
+        """Per-chunk grad microbatches + one update (``trainer.py:824-931``)."""
+        grads = None
+        out: Dict[str, float] = {}
+        rng = self.state.step_rng()
+        for ci, (chunk, sub) in enumerate(batch.items()):
+            cids = self._chunk_channel_ids(chunk)
+            k = self._draw_k(len(cids))
+            gstep = self._get_grad_step(cids, k)
+            g, metrics = gstep(self.state.params, self._device_batch(sub), jax.random.fold_in(rng, ci))
+            grads = g if grads is None else tree_add(grads, g)
+            for k_, v in metrics.items():
+                out[f"{chunk}/{k_}"] = float(v)
+        self.state, gnorm = self._apply_step(self.state, grads)
+        out["grad_norm"] = float(gnorm)
+        out["loss"] = sum(v for k_, v in out.items() if k_.endswith("/loss"))
+        return out
+
+    # ------------------------------------------------------------------
+    # evaluation
+    # ------------------------------------------------------------------
+
+    def evaluate_model(self, epoch: int) -> Dict[str, float]:
+        if self.dataset_name == "morphem70k":
+            from .evaluation.morphem_eval import eval_morphem70k
+
+            return eval_morphem70k(self, epoch)
+        return self.eval_regular(epoch)
+
+    def eval_regular(self, epoch: int) -> Dict[str, float]:
+        """Accuracy per eval split (``trainer.py:386-472``). Splits whose
+        channels differ from train are evaluated as-is (channel subsets of
+        the training set; novel-channel synthesis hooks in via
+        ``channel_embed_override``)."""
+        results: Dict[str, float] = {}
+        max_batches = 3 if self.debug else math.inf
+        for split_name, loader in self._eval_loader_items():
+            cids = jnp.asarray(self._chunk_channel_ids(split_name) if split_name in self.mapper
+                               else self._chunk_channel_ids("train"))
+            correct, total = 0, 0
+            for i, batch in enumerate(loader):
+                if i >= max_batches:
+                    break
+                x = jnp.asarray(batch["image"])
+                out = self._eval_step(self.state.params, x, cids)
+                if self.loss_type == "proxy":
+                    scale = model_scale(self.state.params, self.learnable_temp, self.temperature)
+                    logits = proxy_logits(self.state.params["proxies"], out, scale)
+                else:
+                    logits = out
+                pred = np.asarray(jnp.argmax(logits, axis=-1))
+                valid = batch.get("valid", np.ones(len(pred), bool))
+                correct += int(((pred == batch["label"]) & valid).sum())
+                total += int(valid.sum())
+            acc = correct / max(total, 1)
+            results[f"{split_name}/accuracy"] = acc
+        if results:
+            results["accuracy"] = float(np.mean(list(results.values())))
+        return results
+
+    def _eval_loader_items(self):
+        items = []
+        for chunk, loader in self.val_loaders.items():
+            items.append(("valid", loader))
+        for chunk, loader in self.test_loaders.items():
+            if isinstance(loader, dict):
+                items.extend(loader.items())
+            else:
+                items.append(("test", loader))
+        return items
+
+    # ------------------------------------------------------------------
+    # checkpointing
+    # ------------------------------------------------------------------
+
+    def _maybe_save(self, epoch: int, accuracy: float):
+        if jax.process_index() != 0 or self.debug:
+            return
+        policy = self.cfg.train.get("save_model", "last")
+        if policy in (None, "none", "~"):
+            return
+        if policy == "last" and epoch != self.total_epochs:
+            return
+        if isinstance(policy, str) and policy.startswith("every"):
+            n = int(policy.split("-")[-1]) if "-" in policy else 1
+            if epoch % n != 0 and epoch != self.total_epochs:
+                return
+        name = "model_last" if policy == "last" else f"model_epoch{epoch}"
+        save_checkpoint(
+            self.checkpoints, self.state, epoch=epoch, accuracy=accuracy,
+            config=self.cfg.to_dict() if hasattr(self.cfg, "to_dict") else None,
+            name=name,
+        )

@@ -40,13 +40,14 @@ def create_train_state(
     """Initialize params (unless given) and wrap them with the optimizer."""
     init_rng, base_rng = jax.random.split(rng)
     if params is None:
-        variables = model.init(
-            {"params": init_rng, "dropout": base_rng},
-            sample_input,
-            sample_channel_ids,
-            train=False,
+        # jit the init: eager init dispatches thousands of tiny ops, which is
+        # pathological over remote-device tunnels and slow everywhere
+        init_fn = jax.jit(
+            lambda r1, r2, x, c: model.init(
+                {"params": r1, "dropout": r2}, x, c, train=False
+            )["params"]
         )
-        params = variables["params"]
+        params = init_fn(init_rng, base_rng, sample_input, sample_channel_ids)
     return TrainState.create(
         apply_fn=model.apply, params=params, tx=tx, base_rng=base_rng
     )
