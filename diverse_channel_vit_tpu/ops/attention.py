@@ -6,16 +6,28 @@ memory-efficient attention (``vit.py:232-249``). The TPU-native equivalent
 here is a Pallas flash-attention kernel (forward + backward), with an XLA
 einsum fallback for CPU tests and as a numerics oracle.
 
-Design notes:
-- online softmax with deferred normalization (divide by l once, at the end)
-- fp32 softmax statistics, bf16-friendly matmuls with
-  ``preferred_element_type=jnp.float32``
-- sequence padding to a block multiple is handled in the wrapper with
-  zero-padding + a *static* valid-length mask baked into the kernel, so no
-  extra mask tensors move through HBM
-- backward = two Pallas kernels (dKV and dQ) that recompute P from the
-  saved log-sum-exp instead of materializing the (N, N) probability matrix
-  (at CHAMMI/JUMP-CP sizes the XLA backward would stage multi-GB buffers)
+Kernel design (sized for this workload: N <= ~2.5k tokens, head_dim 64):
+
+- **Full-KV-row, single-pass softmax.** At these sequence lengths a whole
+  K/V row for one batch-head fits comfortably in VMEM (N=2432: ~0.6 MB in
+  bf16), so each program computes the complete softmax for its q-block in
+  one shot — no online rescaling, no scratch accumulators, no grid dim to
+  revisit. The classic streaming-flash structure (online max/sum over k
+  blocks) only pays off when K/V rows exceed VMEM; a first implementation
+  used it and was DMA-latency-bound: grid (B*H, N/128, N/128) = 65k tiny
+  programs ran 35x slower than this layout on a v5e.
+- **K/V fetched once per batch-head.** Grid is (B*H, num_q_blocks) with the
+  q index innermost and the K/V index maps constant in it, so Pallas keeps
+  K/V resident across the whole row sweep: HBM traffic for K/V is B*H*N*dh,
+  not B*H*N*dh*num_q_blocks.
+- fp32 scores/softmax on the VPU, bf16 matmuls on the MXU with
+  ``preferred_element_type=f32``.
+- Padding to a block multiple is handled in the wrapper with zero-padding +
+  a static valid-length mask baked into the kernel.
+- Backward = two kernels of the same shape: dq over (B*H, q-blocks) and
+  dk/dv over (B*H, k-blocks), both recomputing P from the saved
+  log-sum-exp instead of materializing the (N, N) probability matrix (the
+  XLA backward stages multi-GB buffers at CHAMMI/JUMP-CP sizes).
 """
 
 from __future__ import annotations
@@ -33,7 +45,10 @@ except ImportError:  # pragma: no cover
     pltpu = None
 
 MASK_VALUE = -1e30
-BLOCK = 128
+LANE = 128
+DEFAULT_BLOCK_Q = 512
+# beyond this, a K/V row + fp32 score block no longer fits VMEM comfortably
+MAX_SINGLE_PASS_N = 8192
 
 # Interpret mode runs the Pallas kernels on the CPU emulator (for tests).
 INTERPRET = False
@@ -65,84 +80,57 @@ def xla_attention(
 
 
 # ---------------------------------------------------------------------------
-# Pallas forward
+# Pallas forward — single-pass softmax over a resident K/V row
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, sm_scale, n_valid, n_kv_blocks, block_k):
-    ki = pl.program_id(2)
-
-    @pl.when(ki == 0)
-    def _init():
-        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
-
-    q = q_ref[0]
-    k = k_ref[0]
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale, n_valid):
+    q = q_ref[0]  # (bq, dh)
+    k = k_ref[0]  # (n, dh)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    )  # (bq, n)
     if sm_scale != 1.0:
         s = s * sm_scale
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-    s = jnp.where(col_ids < n_valid, s, MASK_VALUE)
+    if n_valid < s.shape[1]:
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col_ids < n_valid, s, MASK_VALUE)
 
-    m_prev = m_scr[...]
-    l_prev = l_scr[...]
-    m_curr = jnp.max(s, axis=1, keepdims=True)  # (bq, 1)
-    m_next = jnp.maximum(m_prev, m_curr)  # (bq, 128)
-    alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - m_next[:, :1])
-    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-    m_scr[...] = m_next
-    l_scr[...] = l_next
-
-    v = v_ref[0]
-    pv = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
-
-    @pl.when(ki == n_kv_blocks - 1)
-    def _store():
-        l_final = l_scr[:, :1]
-        l_inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
-        o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
-        lse = m_scr[:, :1] + jnp.log(jnp.maximum(l_final, 1e-30))
-        # lane-aligned (1, block_q) row of the (bh, nq, 1, block_q) lse array
-        lse_ref[0, 0] = lse[:, 0][None, :]
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot(p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+    lse_ref[0, 0] = (m + jnp.log(l))[:, 0][None, :]
 
 
-def _flash_fwd_impl(q, k, v, sm_scale: float, n_valid: int, block_q: int, block_k: int):
+def _flash_fwd_impl(q, k, v, sm_scale: float, n_valid: int, block_q: int):
     bh, n, dh = q.shape
-    nq, nk = n // block_q, n // block_k
-    # the lse layout (bh, nq, 1, block_q) needs a lane-aligned trailing dim
-    assert block_q % 128 == 0, "block_q must be a multiple of the 128-lane tile"
-    kernel = functools.partial(
-        _fwd_kernel, sm_scale=sm_scale, n_valid=n_valid, n_kv_blocks=nk, block_k=block_k
-    )
+    nq = n // block_q
+    kernel = functools.partial(_fwd_kernel, sm_scale=sm_scale, n_valid=n_valid)
     o, lse = pl.pallas_call(
         kernel,
-        grid=(bh, nq, nk),
+        grid=(bh, nq),
         in_specs=[
-            pl.BlockSpec((1, block_q, dh), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, block_k, dh), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, block_k, dh), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_q, dh), lambda b, qi: (b, qi, 0)),
+            pl.BlockSpec((1, n, dh), lambda b, qi: (b, 0, 0)),  # resident across qi
+            pl.BlockSpec((1, n, dh), lambda b, qi: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, dh), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, 1, 1, block_q), lambda b, qi, ki: (b, qi, 0, 0)),
+            pl.BlockSpec((1, block_q, dh), lambda b, qi: (b, qi, 0)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, qi: (b, qi, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, n, dh), q.dtype),
             jax.ShapeDtypeStruct((bh, nq, 1, block_q), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, BLOCK), jnp.float32),
-            pltpu.VMEM((block_q, BLOCK), jnp.float32),
-            pltpu.VMEM((block_q, dh), jnp.float32),
-        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * n * n * dh,
+            bytes_accessed=bh * n * dh * 2 * 4,
+            transcendentals=bh * n * n,
         ),
         interpret=INTERPRET,
     )(q, k, v)
@@ -150,151 +138,126 @@ def _flash_fwd_impl(q, k, v, sm_scale: float, n_valid: int, block_q: int, block_
 
 
 # ---------------------------------------------------------------------------
-# Pallas backward: dKV kernel (iterates q blocks per kv block)
+# Pallas backward: dq over q-blocks, dk/dv over k-blocks (K/Q resident)
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, sm_scale, n_valid, n_q_blocks, block_k):
-    qi = pl.program_id(2)
-    ki = pl.program_id(1)
-
-    @pl.when(qi == 0)
-    def _init():
-        dk_scr[...] = jnp.zeros_like(dk_scr)
-        dv_scr[...] = jnp.zeros_like(dv_scr)
-
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, *, sm_scale, n_valid):
+    q = q_ref[0]  # (bq, dh)
+    k = k_ref[0]  # (n, dh)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     if sm_scale != 1.0:
         s = s * sm_scale
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-    s = jnp.where(col_ids < n_valid, s, MASK_VALUE)
-
-    p = jnp.exp(s - lse_ref[0, 0, 0][:, None])  # (bq, bk), exact softmax probs
-    dv_scr[...] += jax.lax.dot_general(
-        p, do.astype(jnp.float32), (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    if n_valid < s.shape[1]:
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col_ids < n_valid, s, MASK_VALUE)
+    p = jnp.exp(s - lse_ref[0, 0, 0][:, None])  # (bq, n)
     dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     ds = p * (dp - di_ref[0, 0, 0][:, None]) * sm_scale
-    dk_scr[...] += jax.lax.dot_general(
-        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-
-    @pl.when(qi == n_q_blocks - 1)
-    def _store():
-        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
-        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+    dq_ref[0] = jax.lax.dot(
+        ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr, *, sm_scale, n_valid, n_kv_blocks, block_k):
-    ki = pl.program_id(2)
-
-    @pl.when(ki == 0)
-    def _init():
-        dq_scr[...] = jnp.zeros_like(dq_scr)
-
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref, *, sm_scale, n_valid):
+    q = q_ref[0]  # (n, dh) — full q row, resident across ki
+    kb = k_ref[0]  # (bk, dh)
+    sT = jax.lax.dot_general(
+        kb, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bk, n) = s.T
     if sm_scale != 1.0:
-        s = s * sm_scale
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-    s = jnp.where(col_ids < n_valid, s, MASK_VALUE)
+        sT = sT * sm_scale
+    # mask invalid *keys* (rows of sT); invalid q rows carry garbage but their
+    # do is zero-padded so they contribute nothing
+    ki = pl.program_id(1)
+    bk = sT.shape[0]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, sT.shape, 0) + ki * bk
+    sT = jnp.where(row_ids < n_valid, sT, MASK_VALUE)
+    pT = jnp.exp(sT - lse_ref[0, 0][0][None, :])  # (bk, n)
+    do = do_ref[0]  # (n, dh)
+    dv_ref[0] = jax.lax.dot(
+        pT.astype(do.dtype), do, preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+    dpT = jax.lax.dot_general(
+        v_ref[0], do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bk, n)
+    dsT = pT * (dpT - di_ref[0, 0][0][None, :]) * sm_scale
+    dk_ref[0] = jax.lax.dot(
+        dsT.astype(q.dtype), q, preferred_element_type=jnp.float32
+    ).astype(dk_ref.dtype)
 
-    p = jnp.exp(s - lse_ref[0, 0, 0][:, None])
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    ds = p * (dp - di_ref[0, 0, 0][:, None]) * sm_scale
-    dq_scr[...] += jax.lax.dot(ds, k.astype(jnp.float32), preferred_element_type=jnp.float32)
 
-    @pl.when(ki == n_kv_blocks - 1)
-    def _store():
-        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
-
-
-def _flash_bwd_impl(q, k, v, o, lse, do, sm_scale, n_valid, block_q, block_k):
+def _flash_bwd_impl(q, k, v, o, lse, do, sm_scale, n_valid, block_q):
     bh, n, dh = q.shape
-    nq, nk = n // block_q, n // block_k
+    nq = n // block_q
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)  # (bh, n)
-    di = di.reshape(bh, nq, 1, block_q)  # lane-aligned, same layout as lse
+    di_blocked = di.reshape(bh, nq, 1, block_q)
+    # row layout for the dkv kernel: all n values along lanes
+    lse_row = lse.reshape(bh, 1, nq * block_q).reshape(bh, 1, 1, n)
+    di_row = di.reshape(bh, 1, 1, n)
 
-    dkv_kernel = functools.partial(
-        _bwd_dkv_kernel, sm_scale=sm_scale, n_valid=n_valid, n_q_blocks=nq, block_k=block_k
-    )
-    dk, dv = pl.pallas_call(
-        dkv_kernel,
-        grid=(bh, nk, nq),
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, n_valid=n_valid),
+        grid=(bh, nq),
         in_specs=[
-            pl.BlockSpec((1, block_q, dh), lambda b, ki, qi: (b, qi, 0)),  # q
-            pl.BlockSpec((1, block_k, dh), lambda b, ki, qi: (b, ki, 0)),  # k
-            pl.BlockSpec((1, block_k, dh), lambda b, ki, qi: (b, ki, 0)),  # v
-            pl.BlockSpec((1, block_q, dh), lambda b, ki, qi: (b, qi, 0)),  # do
-            pl.BlockSpec((1, 1, 1, block_q), lambda b, ki, qi: (b, qi, 0, 0)),  # lse
-            pl.BlockSpec((1, 1, 1, block_q), lambda b, ki, qi: (b, qi, 0, 0)),  # di
+            pl.BlockSpec((1, block_q, dh), lambda b, qi: (b, qi, 0)),
+            pl.BlockSpec((1, n, dh), lambda b, qi: (b, 0, 0)),
+            pl.BlockSpec((1, n, dh), lambda b, qi: (b, 0, 0)),
+            pl.BlockSpec((1, block_q, dh), lambda b, qi: (b, qi, 0)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, qi: (b, qi, 0, 0)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, qi: (b, qi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dh), lambda b, qi: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, n, dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=INTERPRET,
+    )(q, k, v, do, lse, di_blocked)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, n_valid=n_valid),
+        grid=(bh, nq),
+        in_specs=[
+            pl.BlockSpec((1, n, dh), lambda b, ki: (b, 0, 0)),  # q row, resident
+            pl.BlockSpec((1, block_q, dh), lambda b, ki: (b, ki, 0)),  # k block
+            pl.BlockSpec((1, block_q, dh), lambda b, ki: (b, ki, 0)),  # v block
+            pl.BlockSpec((1, n, dh), lambda b, ki: (b, 0, 0)),  # do row, resident
+            pl.BlockSpec((1, 1, 1, n), lambda b, ki: (b, 0, 0, 0)),  # lse row
+            pl.BlockSpec((1, 1, 1, n), lambda b, ki: (b, 0, 0, 0)),  # di row
         ],
         out_specs=[
-            pl.BlockSpec((1, block_k, dh), lambda b, ki, qi: (b, ki, 0)),
-            pl.BlockSpec((1, block_k, dh), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, block_q, dh), lambda b, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_q, dh), lambda b, ki: (b, ki, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, n, dh), q.dtype),
             jax.ShapeDtypeStruct((bh, n, dh), q.dtype),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((block_k, dh), jnp.float32),
-            pltpu.VMEM((block_k, dh), jnp.float32),
-        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=INTERPRET,
-    )(q, k, v, do, lse, di)
-
-    dq_kernel = functools.partial(
-        _bwd_dq_kernel, sm_scale=sm_scale, n_valid=n_valid, n_kv_blocks=nk, block_k=block_k
-    )
-    dq = pl.pallas_call(
-        dq_kernel,
-        grid=(bh, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, block_q, dh), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, block_k, dh), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, block_k, dh), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, block_q, dh), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, 1, 1, block_q), lambda b, qi, ki: (b, qi, 0, 0)),
-            pl.BlockSpec((1, 1, 1, block_q), lambda b, qi, ki: (b, qi, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, dh), lambda b, qi, ki: (b, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, n, dh), q.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q, dh), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=INTERPRET,
-    )(q, k, v, do, lse, di)
+    )(q, k, v, do, lse_row, di_row)
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash(q, k, v, sm_scale, n_valid, block_q, block_k):
-    o, _ = _flash_fwd_impl(q, k, v, sm_scale, n_valid, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash(q, k, v, sm_scale, n_valid, block_q):
+    o, _ = _flash_fwd_impl(q, k, v, sm_scale, n_valid, block_q)
     return o
 
 
-def _flash_vjp_fwd(q, k, v, sm_scale, n_valid, block_q, block_k):
-    o, lse = _flash_fwd_impl(q, k, v, sm_scale, n_valid, block_q, block_k)
+def _flash_vjp_fwd(q, k, v, sm_scale, n_valid, block_q):
+    o, lse = _flash_fwd_impl(q, k, v, sm_scale, n_valid, block_q)
     return o, (q, k, v, o, lse)
 
 
-def _flash_vjp_bwd(sm_scale, n_valid, block_q, block_k, res, do):
+def _flash_vjp_bwd(sm_scale, n_valid, block_q, res, do):
     q, k, v, o, lse = res
-    dq, dk, dv = _flash_bwd_impl(q, k, v, o, lse, do, sm_scale, n_valid, block_q, block_k)
+    dq, dk, dv = _flash_bwd_impl(q, k, v, o, lse, do, sm_scale, n_valid, block_q)
     return dq, dk, dv
 
 
@@ -306,14 +269,19 @@ def flash_attention(
     k: jax.Array,
     v: jax.Array,
     sm_scale: Optional[float] = None,
-    block_q: int = BLOCK,
-    block_k: int = BLOCK,
+    block_q: Optional[int] = None,
 ) -> jax.Array:
     """Flash attention over (B, H, N, Dh); pads N to a block multiple."""
     b, h, n, dh = q.shape
     if sm_scale is None:
         sm_scale = dh**-0.5
-    n_pad = max(block_q, block_k, _cdiv(n, max(block_q, block_k)) * max(block_q, block_k))
+    if n > MAX_SINGLE_PASS_N:
+        # beyond the VMEM-resident regime; this repo's workloads never reach
+        # it (max N = 2353 on 12-channel CHAMMI)
+        return xla_attention(q, k, v, sm_scale)
+    if block_q is None:
+        block_q = min(DEFAULT_BLOCK_Q, _cdiv(n, LANE) * LANE)
+    n_pad = _cdiv(n, block_q) * block_q
     qf = q.reshape(b * h, n, dh)
     kf = k.reshape(b * h, n, dh)
     vf = v.reshape(b * h, n, dh)
@@ -322,7 +290,7 @@ def flash_attention(
         qf = jnp.pad(qf, pad)
         kf = jnp.pad(kf, pad)
         vf = jnp.pad(vf, pad)
-    o = _flash(qf, kf, vf, float(sm_scale), n, block_q, block_k)
+    o = _flash(qf, kf, vf, float(sm_scale), n, block_q)
     return o[:, :n].reshape(b, h, n, dh)
 
 

@@ -78,3 +78,29 @@ def normal_div8_init():
         return (jax.random.normal(key, tuple(shape)) / 8.0).astype(dtype)
 
     return init
+
+
+def kaiming_normal_init(fan_in: int | None = None, gain: float = math.sqrt(2.0)):
+    """torch ``nn.init.kaiming_normal_`` (fan_in mode): N(0, gain^2/fan_in).
+
+    torch computes fan_in as ``shape[1] * prod(shape[2:])``; pass ``fan_in``
+    explicitly to pin it when the JAX parameter layout differs.
+    """
+
+    def init(key, shape, dtype=jnp.float32):
+        f = fan_in
+        if f is None:
+            f = shape[1] * int(math.prod(shape[2:])) if len(shape) > 1 else shape[0]
+        std = gain / math.sqrt(f)
+        return (jax.random.normal(key, tuple(shape)) * std).astype(dtype)
+
+    return init
+
+
+def normal_init(std: float = 1.0):
+    """Plain ``torch.randn`` parameter (std 1 unless scaled)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        return (jax.random.normal(key, tuple(shape)) * std).astype(dtype)
+
+    return init
