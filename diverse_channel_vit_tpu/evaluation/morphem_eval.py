@@ -22,12 +22,13 @@ def extract_features(trainer, chunk: str, loader) -> np.ndarray:
     """Forward the chunk's test loader through the backbone (features =
     the model output; CHAMMI models have no classifier head)."""
     cids = jnp.asarray(trainer._chunk_channel_ids(chunk))
+    eval_step = trainer._get_eval_step(chunk)
     feats = []
     max_batches = 3 if trainer.debug else math.inf
     for i, batch in enumerate(loader):
         if i >= max_batches:
             break
-        out = trainer._eval_step(trainer.state.params, jnp.asarray(batch["image"]), cids)
+        out = eval_step(trainer.state.params, jnp.asarray(batch["image"]), cids)
         valid = batch.get("valid")
         arr = np.asarray(out, np.float32)
         if valid is not None:

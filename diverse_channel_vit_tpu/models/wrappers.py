@@ -64,6 +64,21 @@ class ChannelAdaptiveClassifier(nn.Module):
         return out, extra_loss
 
 
+def bind_chunk(model: "ChannelAdaptiveClassifier", chunk: str) -> "ChannelAdaptiveClassifier":
+    """Clone the model with the backbone pinned to a chunk.
+
+    ConvNeXt variants whose stem depends on the chunk *identity* (per-chunk
+    convs / coef / emb tables) carry a static ``chunk`` field; everything
+    else is chunk-agnostic (channel ids suffice) and returned unchanged.
+    The parameter tree is identical across chunks (all per-chunk params are
+    created unconditionally), so one TrainState serves every clone.
+    """
+    bb = model.backbone
+    if hasattr(bb, "chunk"):
+        return model.clone(backbone=bb.clone(chunk=chunk))
+    return model
+
+
 def model_scale(params: dict, learnable_temp: bool, temperature: float) -> jax.Array:
     """The proxy-loss scale: exp(logit_scale) if learnable else sqrt(1/T)
     (``dichavit.py:806-810``, ``trainer.py:877-882``)."""

@@ -168,7 +168,7 @@ class Trainer:
         self._train_steps: Dict = {}
         self._grad_steps: Dict = {}
         self._apply_step = make_apply_step()
-        self._eval_step = make_eval_step(self.model)
+        self._eval_steps: Dict = {}
 
         # -- checkpoints -------------------------------------------------------
         self.checkpoints = os.path.join(
@@ -241,11 +241,13 @@ class Trainer:
             return None
         return int(self.host_rng.integers(1, c + 1))
 
-    def _get_train_step(self, channel_ids, k):
-        key = (tuple(channel_ids), k)
+    def _get_train_step(self, channel_ids, k, chunk=None):
+        key = (tuple(channel_ids), k, chunk)
         if key not in self._train_steps:
+            from .models.wrappers import bind_chunk
+
             self._train_steps[key] = make_train_step(
-                self.model,
+                bind_chunk(self.model, chunk) if chunk else self.model,
                 channel_ids=channel_ids,
                 k=k,
                 hcs_method=self.hcs_method,
@@ -258,11 +260,13 @@ class Trainer:
             )
         return self._train_steps[key]
 
-    def _get_grad_step(self, channel_ids, k):
-        key = (tuple(channel_ids), k)
+    def _get_grad_step(self, channel_ids, k, chunk=None):
+        key = (tuple(channel_ids), k, chunk)
         if key not in self._grad_steps:
+            from .models.wrappers import bind_chunk
+
             self._grad_steps[key] = make_grad_step(
-                self.model,
+                bind_chunk(self.model, chunk) if chunk else self.model,
                 channel_ids=channel_ids,
                 k=k,
                 hcs_method=self.hcs_method,
@@ -273,6 +277,20 @@ class Trainer:
                 temperature=self.temperature,
             )
         return self._grad_steps[key]
+
+    def _get_eval_step(self, chunk=None):
+        if chunk not in self._eval_steps:
+            from .models.wrappers import bind_chunk
+
+            self._eval_steps[chunk] = make_eval_step(
+                bind_chunk(self.model, chunk) if chunk else self.model
+            )
+        return self._eval_steps[chunk]
+
+    # kept for external callers (evaluation glue): chunk-agnostic default
+    @property
+    def _eval_step(self):
+        return self._get_eval_step(self.all_chunks[0])
 
     # ------------------------------------------------------------------
     # training
@@ -343,7 +361,7 @@ class Trainer:
     def _train_one_batch_regular(self, batch) -> Dict[str, float]:
         cids = self._chunk_channel_ids("train")
         k = self._draw_k(len(cids))
-        step = self._get_train_step(cids, k)
+        step = self._get_train_step(cids, k, chunk=self.all_chunks[0])
         rng = self.state.step_rng()
         self.state, metrics = step(self.state, self._device_batch(batch), rng)
         return {k_: float(v) for k_, v in metrics.items()}
@@ -356,7 +374,7 @@ class Trainer:
         for ci, (chunk, sub) in enumerate(batch.items()):
             cids = self._chunk_channel_ids(chunk)
             k = self._draw_k(len(cids))
-            gstep = self._get_grad_step(cids, k)
+            gstep = self._get_grad_step(cids, k, chunk=chunk)
             g, metrics = gstep(self.state.params, self._device_batch(sub), jax.random.fold_in(rng, ci))
             grads = g if grads is None else tree_add(grads, g)
             for k_, v in metrics.items():
