@@ -393,49 +393,147 @@ class Trainer:
             from .evaluation.morphem_eval import eval_morphem70k
 
             return eval_morphem70k(self, epoch)
-        return self.eval_regular(epoch)
+        results = self.eval_regular(epoch)
+        if self.cfg.eval.get("eval_subset_channels", False):
+            results.update(self.eval_subset_channels())
+        return results
+
+    # per-channel parameter table used for novel-channel synthesis
+    # (reference: channel_vit.py:89-136 on channel_embed, hyper_vit.py:169-233
+    # on z embeddings, depthwise_convnext.py:200-295 on the depthwise bank)
+    OVERRIDE_TABLES = {
+        "dichavit": ("channel_embed",),
+        "channelvit_adapt": ("channel_embed",),
+        "depthwisevit_adapt": ("channel_embed",),
+        "hypervit_adapt": ("conv1_emb",),
+        "templatemixingvit": ("conv1_coefs",),
+        "hyperconvnext": ("conv1_emb",),
+        "templatemixingconvnext": ("conv1_coefs",),
+        "depthwiseconvnext": ("conv1depthwise_param_bank",),
+    }
+
+    def _synthesis_override(self, split: str, new_channel_init):
+        """Build the (C, ...) per-channel override for a LOO strategy, or
+        None when the model has no synthesizable table / strategy is None."""
+        if new_channel_init in (None, "as_is"):
+            return None
+        keys = self.OVERRIDE_TABLES.get(self.cfg.model.name)
+        if keys is None:
+            return None
+        from .ops.novel_channels import synthesis_plan, synthesize_rows
+
+        table = self.state.params["backbone"]
+        for k in keys:
+            table = table[k]
+        if self.cfg.model.name == "depthwiseconvnext":
+            kpc = int(self.cfg.model.get("kernels_per_channel") or 64)
+            table = table.reshape(-1, kpc, 3, 3)
+        training_chunks = self.cfg.train.get("training_chunks") or "train"
+        plan = synthesis_plan(self.mapper, split, training_chunks, str(new_channel_init),
+                              rng=self.host_rng)
+        return synthesize_rows(table, plan)
 
     def eval_regular(self, epoch: int) -> Dict[str, float]:
-        """Accuracy per eval split (``trainer.py:386-472``). Splits whose
-        channels differ from train are evaluated as-is (channel subsets of
-        the training set; novel-channel synthesis hooks in via
-        ``channel_embed_override``)."""
+        """Accuracy per eval split x novel-channel init (``trainer.py:386-472``):
+        splits whose channels match train run once; others run once per
+        strategy in ``model.new_channel_inits`` with synthesized embeddings."""
         results: Dict[str, float] = {}
-        max_batches = 3 if self.debug else math.inf
-        for split_name, loader in self._eval_loader_items():
-            cids = jnp.asarray(self._chunk_channel_ids(split_name) if split_name in self.mapper
-                               else self._chunk_channel_ids("train"))
-            correct, total = 0, 0
-            for i, batch in enumerate(loader):
-                if i >= max_batches:
+        ncis = list(self.cfg.model.get("new_channel_inits") or [None])
+        splits = [s for s in self.mapper if s != "train"]
+        for split in splits:
+            loader = self._eval_loader_for(split)
+            if loader is None:
+                continue
+            for i, nci in enumerate(ncis):
+                if i > 0 and list(self.mapper["train"]) == list(self.mapper[split]):
                     break
-                x = jnp.asarray(batch["image"])
-                out = self._eval_step(self.state.params, x, cids)
-                if self.loss_type == "proxy":
-                    scale = model_scale(self.state.params, self.learnable_temp, self.temperature)
-                    logits = proxy_logits(self.state.params["proxies"], out, scale)
-                else:
-                    logits = out
-                pred = np.asarray(jnp.argmax(logits, axis=-1))
-                valid = batch.get("valid", np.ones(len(pred), bool))
-                correct += int(((pred == batch["label"]) & valid).sum())
-                total += int(valid.sum())
-            acc = correct / max(total, 1)
-            results[f"{split_name}/accuracy"] = acc
+                if split == "valid":
+                    nci = None  # single pass for validation (trainer.py:466)
+                acc = self._eval_split(split, loader, nci)
+                key = f"{split}/accuracy" if nci is None else f"{split}/{nci}/accuracy"
+                results[key] = acc
+                if split == "valid":
+                    break
         if results:
             results["accuracy"] = float(np.mean(list(results.values())))
         return results
 
-    def _eval_loader_items(self):
-        items = []
-        for chunk, loader in self.val_loaders.items():
-            items.append(("valid", loader))
-        for chunk, loader in self.test_loaders.items():
+    def _eval_loader_for(self, split: str):
+        if split == "valid":
+            return next(iter(self.val_loaders.values()), None)
+        for loader in self.test_loaders.values():
             if isinstance(loader, dict):
-                items.extend(loader.items())
+                if split in loader:
+                    return loader[split]
+            elif split.startswith("test"):
+                return loader
+        return None
+
+    def _eval_split(self, split: str, loader, new_channel_init) -> float:
+        cids = jnp.asarray(self._chunk_channel_ids(split) if split in self.mapper
+                           else self._chunk_channel_ids("train"))
+        override = self._synthesis_override(split, new_channel_init)
+        eval_step = self._get_eval_step(self.all_chunks[0])
+        max_batches = 3 if self.debug else math.inf
+        correct, total = 0, 0
+        for i, batch in enumerate(loader):
+            if i >= max_batches:
+                break
+            x = jnp.asarray(batch["image"])
+            out = eval_step(self.state.params, x, cids, override)
+            if self.loss_type == "proxy":
+                scale = model_scale(self.state.params, self.learnable_temp, self.temperature)
+                logits = proxy_logits(self.state.params["proxies"], out, scale)
             else:
-                items.append(("test", loader))
-        return items
+                logits = out
+            pred = np.asarray(jnp.argmax(logits, axis=-1))
+            valid = batch.get("valid", np.ones(len(pred), bool))
+            correct += int(((pred == batch["label"]) & valid).sum())
+            total += int(valid.sum())
+        return correct / max(total, 1)
+
+    def eval_subset_channels(self, max_subsets: Optional[int] = None) -> Dict[str, float]:
+        """Channel-robustness sweep: accuracy over C-choose-n channel subsets
+        for n = C..1 (``trainer.py:475-545``; the reference breaks after the
+        first n below C — reproduced via ``break`` below)."""
+        import itertools
+
+        results: Dict[str, float] = {}
+        split = next((s for s in self.mapper if s.startswith("test")), "test")
+        loader = self._eval_loader_for(split)
+        if loader is None:
+            return results
+        full = self._chunk_channel_ids(split if split in self.mapper else "train")
+        eval_step = self._get_eval_step(self.all_chunks[0])
+        max_batches = 3 if self.debug else math.inf
+        c = len(full)
+        for n in range(c, 0, -1):
+            accs = []
+            combos = list(itertools.combinations(range(c), n))
+            if max_subsets:
+                combos = combos[:max_subsets]
+            for combo in combos:
+                cids = jnp.asarray([full[i] for i in combo])
+                correct, total = 0, 0
+                for i, batch in enumerate(loader):
+                    if i >= max_batches:
+                        break
+                    x = jnp.asarray(batch["image"])[:, list(combo)]
+                    out = eval_step(self.state.params, x, cids)
+                    logits = out if self.loss_type != "proxy" else proxy_logits(
+                        self.state.params["proxies"], out,
+                        model_scale(self.state.params, self.learnable_temp, self.temperature),
+                    )
+                    pred = np.asarray(jnp.argmax(logits, axis=-1))
+                    valid = batch.get("valid", np.ones(len(pred), bool))
+                    correct += int(((pred == batch["label"]) & valid).sum())
+                    total += int(valid.sum())
+                accs.append(correct / max(total, 1))
+            results[f"subset_{n}/mean"] = float(np.mean(accs))
+            results[f"subset_{n}/std"] = float(np.std(accs))
+            if n < c:
+                break  # trainer.py:540
+        return results
 
     # ------------------------------------------------------------------
     # checkpointing
