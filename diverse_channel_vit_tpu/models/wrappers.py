@@ -35,6 +35,7 @@ class ChannelAdaptiveClassifier(nn.Module):
     with_head: bool
     learnable_temp: bool = False
     temperature: float = 0.11111
+    miro: bool = False
 
     @nn.compact
     def __call__(
@@ -55,6 +56,16 @@ class ChannelAdaptiveClassifier(nn.Module):
                 "logit_scale",
                 lambda key, shape: jnp.full(shape, math.log(1.0 / self.temperature)),
                 (),
+            )
+        if self.miro:
+            # MIRO variance-encoder bias (``model_utils.py:105-127``): one
+            # channelwise diagonal-covariance bias over the feature tap (the
+            # model output: the pooled embedding on CHAMMI, where the
+            # reference uses MIRO; logits when a head exists)
+            init_val = math.log(math.exp(0.1 - 1e-5) - 1.0)
+            feat_dim = self.num_classes if self.with_head else self.embed_dim
+            self.param(
+                "miro_var_b", lambda key, shape: jnp.full(shape, init_val), (feat_dim,)
             )
         out = emb
         if self.with_head:

@@ -108,6 +108,11 @@ class Trainer:
         self.model = model_zoo.build_model(
             cfg.model.name, cfg.model, self.mapper, self.num_classes, dtype=self.dtype
         )
+        self.miro = bool(cfg.train.get("miro", False))
+        self.miro_ld = float(cfg.train.get("miro_ld", 0.01) or 0.01)
+        if self.miro:
+            # MIRO (trainer.py:170-208): frozen pre-featurizer + var encoder
+            self.model = self.model.clone(miro=True)
         self.learnable_temp = bool(cfg.model.get("learnable_temp", False))
         self.temperature = float(cfg.model.get("temperature", 0.11111))
         self.extra_loss_lambda = float(cfg.train.get("extra_loss_lambda", 0.0) or 0.0)
@@ -136,6 +141,23 @@ class Trainer:
             steps_per_epoch=self.updates_per_epoch,
             convert_to_batch=bool(cfg.scheduler.get("convert_to_batch", False)),
         )
+        # SWA/SWAD (trainer.py:242-244, :810-812, :957-959): constant swa_lr
+        # past swa_start (SWALR role), running equal-average of params
+        self.swa = bool(cfg.train.get("swa", False))
+        self.swad = bool(cfg.train.get("swad", False))
+        self.swa_start = int(cfg.train.get("swa_start", 5) or 5)
+        if self.swa or self.swad:
+            base_sched = self.lr_schedule
+            swa_lr = float(cfg.train.get("swa_lr", 0.05) or 0.05)
+            swa_step0 = self.swa_start * self.updates_per_epoch
+
+            def swa_sched(step):
+                return jnp.where(jnp.asarray(step) >= swa_step0,
+                                 jnp.float32(swa_lr), base_sched(step))
+
+            self.lr_schedule = swa_sched
+        self.swa_params = None
+        self.swa_n = 0
         self.tx = make_optimizer(
             cfg.optimizer.get("name", "adamw"),
             opt_params,
@@ -163,6 +185,12 @@ class Trainer:
             )
         self.logger.info(f"model {cfg.model.name}: {param_count(self.state.params):,} params, "
                          f"{self.n_devices} devices, dtype {dtype_name}")
+        self.miro_pre_params = None
+        if self.miro:
+            # frozen copy of the init params = the reference's pre_featurizer.
+            # Deep copy: the live state's buffers get donated by the train
+            # step, which would invalidate an aliased snapshot.
+            self.miro_pre_params = jax.tree_util.tree_map(jnp.copy, self.state.params)
 
         # -- step caches -----------------------------------------------------
         self._train_steps: Dict = {}
@@ -256,6 +284,8 @@ class Trainer:
                 extra_loss_lambda=self.extra_loss_lambda,
                 learnable_temp=self.learnable_temp,
                 temperature=self.temperature,
+                miro_pre_params=self.miro_pre_params,
+                miro_ld=self.miro_ld if self.miro else 0.0,
                 donate=bool(self.cfg.train.get("donate_state", True)),
             )
         return self._train_steps[key]
@@ -275,6 +305,8 @@ class Trainer:
                 extra_loss_lambda=self.extra_loss_lambda,
                 learnable_temp=self.learnable_temp,
                 temperature=self.temperature,
+                miro_pre_params=self.miro_pre_params,
+                miro_ld=self.miro_ld if self.miro else 0.0,
             )
         return self._grad_steps[key]
 
@@ -327,10 +359,27 @@ class Trainer:
             self.logger.info(
                 f"epoch {epoch} done in {timer.lap():.1f}s, ETA {timer.eta(epoch - self.start_epoch + 1, self.total_epochs - self.start_epoch + 1):.0f}s"
             )
+        if (self.swa or self.swad) and self.swa_params is not None:
+            # adopt the averaged weights (trainer.py:1334-1336; no BN to refresh)
+            self.state = self.state.replace(params=self.swa_params)
+            self.logger.info(f"adopted SWA weights (averaged over {self.swa_n} updates)")
         self.logger.finish(f"training done: best_acc={best_acc:.4f}")
         return best_acc
 
+    def _swa_update(self):
+        """AveragedModel.update_parameters equal-average (``trainer.py:810-812``)."""
+        n = self.swa_n
+        if self.swa_params is None:
+            # deep copy — the live params' buffers are donated each step
+            self.swa_params = jax.tree_util.tree_map(jnp.copy, self.state.params)
+        else:
+            self.swa_params = jax.tree_util.tree_map(
+                lambda avg, p: avg + (p - avg) / (n + 1.0), self.swa_params, self.state.params
+            )
+        self.swa_n = n + 1
+
     def train_one_epoch(self, epoch: int) -> Dict[str, float]:
+        self._cur_epoch = epoch
         loader_key = SHUFFLE_ALL if SHUFFLE_ALL in self.train_loaders else self.all_chunks[0]
         loader = self.train_loaders[loader_key]
         loader.set_epoch(epoch)
@@ -343,6 +392,8 @@ class Trainer:
                 metrics = self._train_one_batch_morphem(batch)
             else:
                 metrics = self._train_one_batch_regular(batch)
+            if (self.swa or self.swad) and epoch > self.swa_start:
+                self._swa_update()
             for k, v in metrics.items():
                 meters.setdefault(k, AverageMeter(k)).update(float(v))
             if (i + 1) % int(self.cfg.train.get("verbose_batches", 50)) == 0:

@@ -88,6 +88,8 @@ def _loss_and_metrics(
     extra_loss_lambda: float,
     learnable_temp: bool,
     temperature: float,
+    miro_pre_params=None,
+    miro_ld: float = 0.0,
 ):
     out, extra = model.apply(
         {"params": params}, x, cids, train=True, rngs={"dropout": rng_drop}
@@ -101,8 +103,21 @@ def _loss_and_metrics(
         logits = out
         main = cross_entropy_loss(logits, y)
     total = main + extra_loss_lambda * extra
+    metrics = {"main_loss": main, "extra_loss": extra}
+    if miro_pre_params is not None:
+        # MIRO mutual-information regularizer (``trainer.py:885-910``):
+        # vlb = (mean(f) - pre_f)^2 / var + log var, identity mean encoder,
+        # bias-only diagonal variance; feature tap = the pooled embedding
+        pre_out, _ = model.apply(
+            {"params": miro_pre_params}, x, cids, train=False
+        )
+        pre_out = jax.lax.stop_gradient(pre_out)
+        var = jax.nn.softplus(params["miro_var_b"]) + 1e-5
+        vlb = jnp.mean((out.astype(jnp.float32) - pre_out) ** 2 / var + jnp.log(var)) / 2.0
+        total = total + miro_ld * vlb
+        metrics["miro_loss"] = vlb
     acc = jnp.mean((jnp.argmax(logits, axis=-1) == y).astype(jnp.float32))
-    metrics = {"loss": total, "main_loss": main, "extra_loss": extra, "acc": acc}
+    metrics |= {"loss": total, "acc": acc}
     return total, metrics
 
 
@@ -117,6 +132,8 @@ def make_train_step(
     extra_loss_lambda: float = 0.0,
     learnable_temp: bool = False,
     temperature: float = 0.11111,
+    miro_pre_params=None,
+    miro_ld: float = 0.0,
     donate: bool = True,
 ) -> Callable[[TrainState, Dict[str, jax.Array], jax.Array], Tuple[TrainState, Dict]]:
     """Fused grad + optimizer update for a single-chunk batch."""
@@ -136,6 +153,8 @@ def make_train_step(
                 extra_loss_lambda=extra_loss_lambda,
                 learnable_temp=learnable_temp,
                 temperature=temperature,
+                miro_pre_params=miro_pre_params,
+                miro_ld=miro_ld,
             )
 
         grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
@@ -157,6 +176,8 @@ def make_grad_step(
     extra_loss_lambda: float = 0.0,
     learnable_temp: bool = False,
     temperature: float = 0.11111,
+    miro_pre_params=None,
+    miro_ld: float = 0.0,
 ):
     """Per-chunk gradient microbatch: returns (grads, metrics), no update.
 
@@ -180,6 +201,8 @@ def make_grad_step(
                 extra_loss_lambda=extra_loss_lambda,
                 learnable_temp=learnable_temp,
                 temperature=temperature,
+                miro_pre_params=miro_pre_params,
+                miro_ld=miro_ld,
             )
 
         grads, metrics = jax.grad(loss_fn, has_aux=True)(params)
