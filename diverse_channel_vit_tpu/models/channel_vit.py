@@ -74,6 +74,12 @@ class ChannelVisionTransformer(nn.Module):
     use_square: bool = False
     temperature: float = 0.11111  # channel_scale = sqrt(1/T) (dichavit.py:60)
     attention_impl: str = "auto"
+    # token-reduction research knobs (SURVEY §5; static counts — see
+    # ops/token_pruning.py for the dynamic->static design note)
+    block_type: str = "block"  # block | block_v2
+    dropout_tokens_hcs: str = "none"  # none|random|channel|channel_random50|token_random50
+    token_keep_channels: Optional[int] = None  # host-drawn count; None -> ceil(C/2)
+    keep_rate: Optional[float] = None  # EViT-style CLS-attention top-k (unused by ref recipes)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -158,8 +164,47 @@ class ChannelVisionTransformer(nn.Module):
         xseq = jnp.concatenate([cls, tokens], axis=1)
         xseq = nn.Dropout(self.drop_rate, deterministic=not train)(xseq)
 
+        # prepare_tokens-level HCS token dropout (channel_vit_adapt.py:436-495)
+        if train and self.block_type == "block" and self.dropout_tokens_hcs not in ("none", None):
+            from ..ops.token_pruning import random_channel_drop, random_token_drop
+
+            kc = self.token_keep_channels or max(1, math.ceil(0.5 * c))
+            key = self.make_rng("dropout")
+            if self.dropout_tokens_hcs in ("random", "token_random50"):
+                xseq = random_token_drop(key, xseq, kc * n)
+            elif self.dropout_tokens_hcs in ("channel", "channel_random50"):
+                xseq = random_channel_drop(key, xseq, c, kc)
+            else:
+                raise ValueError(f"Unknown dropout_tokens_hcs: {self.dropout_tokens_hcs}")
+
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
+        kc = self.token_keep_channels or max(1, math.ceil(0.5 * c))
         for i in range(self.depth):
+            if self.block_type == "block_v2":
+                from .vit import BlockV2
+
+                # per-block PPT pruning: channel pruning fires once (the grid
+                # stays channel-structured only until the first prune); token
+                # pruning keeps a kc/c fraction of the current tail each block
+                cur_n = xseq.shape[1] - 1
+                xseq = BlockV2(
+                    num_heads=self.num_heads,
+                    mlp_ratio=self.mlp_ratio,
+                    qkv_bias=self.qkv_bias,
+                    drop=self.drop_rate,
+                    drop_path=dpr[i],
+                    pruning_method=(
+                        self.dropout_tokens_hcs
+                        if self.dropout_tokens_hcs in ("token_pruning", "channel_pruning")
+                        else None
+                    ),
+                    keep_tokens=max(1, (cur_n * kc) // c),
+                    keep_channels=kc if i == 0 else None,
+                    nc=c,
+                    dtype=self.dtype,
+                    name=f"block_{i}",
+                )(xseq, train=train)
+                continue
             xseq = Block(
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,

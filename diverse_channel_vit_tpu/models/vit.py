@@ -94,6 +94,85 @@ class Attention(nn.Module):
         return out
 
 
+class AttentionWithScores(nn.Module):
+    """PPTAttention (reference ``vit.py:147-229``): dense attention that also
+    returns per-token significance scores (CLS-attention x value-norm).
+    Dense path by necessity — the scores need the probability matrix."""
+
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool):
+        from ..ops.token_pruning import ppt_significance_scores
+
+        b, n, c = x.shape
+        head_dim = c // self.num_heads
+        sm_scale = self.qk_scale or head_dim**-0.5
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=dense_init, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        attn = jax.nn.softmax(
+            jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * sm_scale,
+            axis=-1,
+        )
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        out = nn.Dense(c, kernel_init=dense_init, dtype=self.dtype, name="proj")(out)
+        scores = ppt_significance_scores(attn, v)
+        return out, scores
+
+
+class BlockV2(nn.Module):
+    """Pre-norm block with PPT score-based pruning (reference ``vit.py:402-492``).
+
+    TPU deviation (documented in ``ops/token_pruning.py``): the keep count is
+    static — ``keep_tokens`` non-CLS tokens after this block (token pruning)
+    or ``keep_channels`` channel groups (channel pruning); the reference
+    redraws a random count per block, which would force dynamic shapes.
+    """
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    drop_path: float = 0.0
+    pruning_method: Optional[str] = None  # token_pruning | channel_pruning
+    keep_tokens: Optional[int] = None
+    keep_channels: Optional[int] = None
+    nc: int = 0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        from ..ops.token_pruning import topk_channel_select, topk_token_select
+
+        dim = x.shape[-1]
+        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        y, scores = AttentionWithScores(
+            num_heads=self.num_heads, qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+            dtype=self.dtype, name="attn",
+        )(y.astype(self.dtype), train=train)
+        if self.pruning_method == "token_pruning" and self.keep_tokens is not None:
+            if self.keep_tokens < x.shape[1] - 1:
+                x = topk_token_select(x, scores, self.keep_tokens)
+                y = topk_token_select(y, scores, self.keep_tokens)
+        elif self.pruning_method == "channel_pruning" and self.keep_channels is not None:
+            if self.keep_channels < self.nc:
+                x = topk_channel_select(x, scores, self.nc, self.keep_channels)
+                y = topk_channel_select(y, scores, self.nc, self.keep_channels)
+        x = x + DropPath(self.drop_path, name="drop_path1")(y, train=train)
+        z = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+        z = Mlp(
+            hidden_features=int(dim * self.mlp_ratio), out_features=dim,
+            drop=self.drop, dtype=self.dtype, name="mlp",
+        )(z.astype(self.dtype), train=train)
+        return x + DropPath(self.drop_path, name="drop_path2")(z, train=train)
+
+
 class Block(nn.Module):
     """Pre-norm transformer block (reference ``vit.py:346-399``)."""
 

@@ -1,0 +1,102 @@
+"""Token-reduction tests: PPT scores, top-k/channel selection, HCS dropout,
+BlockV2 pruning inside the backbone."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diverse_channel_vit_tpu.models.channel_vit import ChannelVisionTransformer
+from diverse_channel_vit_tpu.ops.token_pruning import (
+    evit_cls_attention_select,
+    ppt_significance_scores,
+    random_channel_drop,
+    random_token_drop,
+    topk_channel_select,
+    topk_token_select,
+)
+
+
+def test_ppt_scores_normalized():
+    rng = jax.random.key(0)
+    attn = jax.nn.softmax(jax.random.normal(rng, (2, 3, 9, 9)), axis=-1)
+    v = jax.random.normal(jax.random.key(1), (2, 3, 9, 8))
+    s = ppt_significance_scores(attn, v)
+    assert s.shape == (2, 8)
+    np.testing.assert_allclose(np.asarray(jnp.sum(s, axis=1)), 1.0, rtol=1e-5)
+
+
+def test_topk_token_select_keeps_cls_and_best():
+    x = jnp.arange(2 * 9 * 4, dtype=jnp.float32).reshape(2, 9, 4)
+    scores = jnp.asarray([[0.1, 0.9, 0.2, 0.8, 0.3, 0.7, 0.4, 0.6]] * 2)
+    out = topk_token_select(x, scores, 3)
+    assert out.shape == (2, 4, 4)
+    np.testing.assert_array_equal(np.asarray(out[:, 0]), np.asarray(x[:, 0]))  # CLS
+    # best tokens are positions 1, 3, 5 of the tail -> x indices 2, 4, 6
+    np.testing.assert_array_equal(np.asarray(out[0, 1]), np.asarray(x[0, 2]))
+
+
+def test_topk_channel_select_groups():
+    b, nc, hw, d = 2, 4, 3, 5
+    x = jax.random.normal(jax.random.key(0), (b, 1 + nc * hw, d))
+    scores = jnp.zeros((b, nc * hw)).at[:, 0:hw].set(5.0).at[:, 2 * hw : 3 * hw].set(3.0)
+    out = topk_channel_select(x, scores, nc, 2)
+    assert out.shape == (b, 1 + 2 * hw, d)
+    # channels 0 and 2 kept, in index order
+    np.testing.assert_allclose(np.asarray(out[:, 1 : 1 + hw]), np.asarray(x[:, 1 : 1 + hw]))
+    np.testing.assert_allclose(
+        np.asarray(out[:, 1 + hw :]), np.asarray(x[:, 1 + 2 * hw : 1 + 3 * hw])
+    )
+
+
+def test_random_drops_shapes_and_cls():
+    x = jax.random.normal(jax.random.key(0), (2, 1 + 6 * 4, 8))
+    out = random_token_drop(jax.random.key(1), x, 12)
+    assert out.shape == (2, 13, 8)
+    np.testing.assert_array_equal(np.asarray(out[:, 0]), np.asarray(x[:, 0]))
+    out2 = random_channel_drop(jax.random.key(2), x, 6, 3)
+    assert out2.shape == (2, 1 + 3 * 4, 8)
+
+
+def test_evit_select():
+    x = jax.random.normal(jax.random.key(0), (2, 9, 4))
+    attn = jax.nn.softmax(jax.random.normal(jax.random.key(1), (2, 2, 9, 9)), axis=-1)
+    out = evit_cls_attention_select(x, attn, 0.5)
+    assert out.shape == (2, 5, 4)
+    assert evit_cls_attention_select(x, attn, 1.0).shape == x.shape
+
+
+def _backbone(**kw):
+    return ChannelVisionTransformer(
+        num_total_channels=6, img_size=16, patch_size=8, embed_dim=32, depth=2,
+        num_heads=2, attention_impl="xla", **kw,
+    )
+
+
+def test_backbone_hcs_token_dropout():
+    m = _backbone(dropout_tokens_hcs="channel_random50")
+    x = jax.random.normal(jax.random.key(0), (2, 6, 16, 16))
+    cids = jnp.arange(6)
+    params = m.init({"params": jax.random.key(1), "dropout": jax.random.key(2)},
+                    x, cids, train=False)["params"]
+    out, _ = m.apply({"params": params}, x, cids, train=True,
+                     rngs={"dropout": jax.random.key(3)})
+    assert out.shape == (2, 32)
+    # eval path unaffected
+    out_eval, _ = m.apply({"params": params}, x, cids, train=False)
+    assert np.all(np.isfinite(np.asarray(out_eval)))
+
+
+def test_backbone_block_v2_pruning():
+    for method in ("token_pruning", "channel_pruning"):
+        m = _backbone(block_type="block_v2", dropout_tokens_hcs=method,
+                      token_keep_channels=3)
+        x = jax.random.normal(jax.random.key(0), (2, 6, 16, 16))
+        cids = jnp.arange(6)
+        params = m.init({"params": jax.random.key(1), "dropout": jax.random.key(2)},
+                        x, cids, train=False)["params"]
+        out, _ = m.apply({"params": params}, x, cids, train=True,
+                         rngs={"dropout": jax.random.key(3)})
+        assert out.shape == (2, 32)
+        g = jax.grad(lambda p: jnp.sum(m.apply({"params": p}, x, cids, train=True,
+                                               rngs={"dropout": jax.random.key(4)})[0] ** 2))(params)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in jax.tree_util.tree_leaves(g))
