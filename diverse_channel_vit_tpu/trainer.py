@@ -280,6 +280,7 @@ class Trainer:
                 k=k,
                 hcs_method=self.hcs_method,
                 hcs_temp=self.hcs_temp,
+                patch_size=int(self.cfg.model.get("patch_size", 16) or 16),
                 loss_type=self.loss_type,
                 extra_loss_lambda=self.extra_loss_lambda,
                 learnable_temp=self.learnable_temp,
@@ -301,6 +302,7 @@ class Trainer:
                 k=k,
                 hcs_method=self.hcs_method,
                 hcs_temp=self.hcs_temp,
+                patch_size=int(self.cfg.model.get("patch_size", 16) or 16),
                 loss_type=self.loss_type,
                 extra_loss_lambda=self.extra_loss_lambda,
                 learnable_temp=self.learnable_temp,

@@ -58,22 +58,48 @@ def _select_channels(
     k: Optional[int],
     method: str,
     temp: float,
+    patch_size: Optional[int] = None,
 ):
     """Gather a sampled channel subset of the batch (HCS/DCS).
 
-    Returns (x_sel, cids_sel). ``k`` static; k == C or None disables.
+    Returns (x_sel, cids_sel, channel_embed_override). ``k`` static; k == C
+    or None disables. ``hcs_per_sample`` gathers a different subset per
+    sample and carries the matching embeddings as a (B, k, D) override
+    (``dichavit.py:138-149``); ``*_proj`` scores channels by batch-mean
+    cosine of projected patches (``dichavit.py:156-161``).
     """
     c = x.shape[1]
     if k is None or k >= c:
-        return x, cids
+        return x, cids, None
+
+    if method == "hcs_per_sample":
+        from ..ops.sampling import per_sample_uniform_subsets
+
+        idx = per_sample_uniform_subsets(rng, x.shape[0], c, k)  # (B, k)
+        x_sel = jnp.take_along_axis(x, idx[:, :, None, None], axis=1)
+        emb = jnp.take(params["backbone"]["channel_embed"], cids, axis=0)
+        override = jnp.take(emb, idx, axis=0)  # (B, k, D)
+        return x_sel, jnp.take(cids, idx[0]), override
+
+    cos_matrix = None
+    if method not in (None, "none", "uniform") and method.endswith("_proj"):
+        from ..ops.patch_embed import per_channel_patch_embed
+        from ..ops.sampling import batch_cosine_matrix
+
+        kern = params["backbone"]["proj_kernel"]
+        toks = per_channel_patch_embed(x, kern, None, patch_size=patch_size)
+        toks = jax.lax.stop_gradient(toks)  # reference samples under no_grad
+        cos_matrix = batch_cosine_matrix(toks.reshape(x.shape[0], c, -1))
     needs_embed = method not in (None, "none", "uniform")
-    emb = None
-    if needs_embed:
+    if needs_embed and cos_matrix is None:
         emb = jnp.take(params["backbone"]["channel_embed"], cids, axis=0)
     else:
         emb = jnp.zeros((c, 1), jnp.float32)
-    idx = dcs_select(rng, k, method if needs_embed else "uniform", channel_embed=emb, temp=temp)
-    return jnp.take(x, idx, axis=1), jnp.take(cids, idx)
+    idx = dcs_select(
+        rng, k, method if needs_embed else "uniform",
+        channel_embed=emb, cos_matrix=cos_matrix, temp=temp,
+    )
+    return jnp.take(x, idx, axis=1), jnp.take(cids, idx), None
 
 
 def _loss_and_metrics(
@@ -90,9 +116,11 @@ def _loss_and_metrics(
     temperature: float,
     miro_pre_params=None,
     miro_ld: float = 0.0,
+    channel_override=None,
 ):
     out, extra = model.apply(
-        {"params": params}, x, cids, train=True, rngs={"dropout": rng_drop}
+        {"params": params}, x, cids, train=True, rngs={"dropout": rng_drop},
+        channel_embed_override=channel_override,
     )
     if loss_type == "proxy":
         scale = model_scale(params, learnable_temp, temperature)
@@ -128,6 +156,7 @@ def make_train_step(
     k: Optional[int] = None,
     hcs_method: str = "none",
     hcs_temp: float = 0.1,
+    patch_size: Optional[int] = None,
     loss_type: str = "ce",
     extra_loss_lambda: float = 0.0,
     learnable_temp: bool = False,
@@ -144,11 +173,13 @@ def make_train_step(
         x, y = batch["image"], batch["label"]
 
         def loss_fn(params):
-            xs, cs = _select_channels(
-                params, x, cids_const, rng_sample, k=k, method=hcs_method, temp=hcs_temp
+            xs, cs, override = _select_channels(
+                params, x, cids_const, rng_sample, k=k, method=hcs_method,
+                temp=hcs_temp, patch_size=patch_size,
             )
             return _loss_and_metrics(
                 model, params, xs, cs, y, rng_drop,
+                channel_override=override,
                 loss_type=loss_type,
                 extra_loss_lambda=extra_loss_lambda,
                 learnable_temp=learnable_temp,
@@ -172,6 +203,7 @@ def make_grad_step(
     k: Optional[int] = None,
     hcs_method: str = "none",
     hcs_temp: float = 0.1,
+    patch_size: Optional[int] = None,
     loss_type: str = "proxy",
     extra_loss_lambda: float = 0.0,
     learnable_temp: bool = False,
@@ -192,11 +224,13 @@ def make_grad_step(
         x, y = batch["image"], batch["label"]
 
         def loss_fn(p):
-            xs, cs = _select_channels(
-                p, x, cids_const, rng_sample, k=k, method=hcs_method, temp=hcs_temp
+            xs, cs, override = _select_channels(
+                p, x, cids_const, rng_sample, k=k, method=hcs_method,
+                temp=hcs_temp, patch_size=patch_size,
             )
             return _loss_and_metrics(
                 model, p, xs, cs, y, rng_drop,
+                channel_override=override,
                 loss_type=loss_type,
                 extra_loss_lambda=extra_loss_lambda,
                 learnable_temp=learnable_temp,
