@@ -27,6 +27,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from diverse_channel_vit_tpu.compile_cache import enable as _enable_cache
+
+    _enable_cache()
+
     from diverse_channel_vit_tpu.training import create_train_state, make_optimizer
     from diverse_channel_vit_tpu.training.schedules import make_lr_schedule
     from diverse_channel_vit_tpu.training.steps import make_train_step

@@ -1,0 +1,25 @@
+"""Persistent XLA compilation cache.
+
+Compiles of the 12-block train step take minutes against a remote TPU
+tunnel; the persistent cache makes every process after the first start in
+seconds. Call :func:`enable` before building jitted functions (main.py,
+bench.py and the driver entry points all do).
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+
+
+def enable(cache_dir: str = _DEFAULT_DIR) -> None:
+    import jax
+
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # pragma: no cover — cache is best-effort
+        print(f"[compile_cache] disabled ({e})")

@@ -18,17 +18,20 @@ import numpy as np
 from .benchmark import chammi_score, run_benchmark
 
 
-def extract_features(trainer, chunk: str, loader) -> np.ndarray:
+def extract_features(trainer, chunk: str, loader, new_channel_init=None) -> np.ndarray:
     """Forward the chunk's test loader through the backbone (features =
-    the model output; CHAMMI models have no classifier head)."""
+    the model output; CHAMMI models have no classifier head).
+    ``new_channel_init`` applies leave-one-out embedding synthesis when the
+    run trained on a chunk subset (``trainer.py:552-560``)."""
     cids = jnp.asarray(trainer._chunk_channel_ids(chunk))
+    override = trainer._synthesis_override(chunk, new_channel_init)
     eval_step = trainer._get_eval_step(chunk)
     feats = []
     max_batches = 3 if trainer.debug else math.inf
     for i, batch in enumerate(loader):
         if i >= max_batches:
             break
-        out = eval_step(trainer.state.params, jnp.asarray(batch["image"]), cids)
+        out = eval_step(trainer.state.params, jnp.asarray(batch["image"]), cids, override)
         valid = batch.get("valid")
         arr = np.asarray(out, np.float32)
         if valid is not None:
@@ -37,7 +40,7 @@ def extract_features(trainer, chunk: str, loader) -> np.ndarray:
     return np.concatenate(feats, axis=0)
 
 
-def eval_morphem70k(trainer, epoch: int) -> Dict[str, float]:
+def eval_morphem70k(trainer, epoch: int, new_channel_init=None) -> Dict[str, float]:
     cfg = trainer.cfg
     folder = f"epoch{epoch}_seed{trainer.seed}"
     feature_dir = cfg.eval.feature_dir.replace("{FOLDER_NAME}", folder)
@@ -46,7 +49,7 @@ def eval_morphem70k(trainer, epoch: int) -> Dict[str, float]:
 
     for chunk, loader in trainer.test_loaders.items():
         ld = loader if not isinstance(loader, dict) else list(loader.values())[0]
-        feats = extract_features(trainer, chunk, ld)
+        feats = extract_features(trainer, chunk, ld, new_channel_init)
         out_dir = os.path.join(feature_dir, chunk)
         os.makedirs(out_dir, exist_ok=True)
         np.save(os.path.join(out_dir, cfg.eval.feature_file), feats)

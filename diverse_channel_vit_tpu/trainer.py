@@ -387,13 +387,21 @@ class Trainer:
         loader.set_epoch(epoch)
         meters: Dict[str, AverageMeter] = {}
         max_batches = 3 if self.debug else math.inf
+        n_images = 0
+        t_start = time.perf_counter()
+        t_first_step_done = None  # exclude the first step (compile) from imgs/sec
         for i, batch in enumerate(loader):
             if i >= max_batches:
                 break
             if loader_key == SHUFFLE_ALL:
                 metrics = self._train_one_batch_morphem(batch)
+                n_images += sum(b["image"].shape[0] for b in batch.values())
             else:
                 metrics = self._train_one_batch_regular(batch)
+                n_images += batch["image"].shape[0]
+            if t_first_step_done is None:
+                t_first_step_done = time.perf_counter()
+                n_warmup = n_images
             if (self.swa or self.swad) and epoch > self.swa_start:
                 self._swa_update()
             for k, v in metrics.items():
@@ -403,7 +411,14 @@ class Trainer:
                     {k: round(m.avg, 5) for k, m in meters.items()},
                     pref_msg=f"  [e{epoch} b{i + 1}/{len(loader)}]",
                 )
-        return {k: m.avg for k, m in meters.items()}
+        out = {k: m.avg for k, m in meters.items()}
+        if t_first_step_done is not None and n_images > n_warmup:
+            steady = time.perf_counter() - t_first_step_done
+            if steady > 0:
+                out["imgs_per_sec_per_chip"] = (
+                    (n_images - n_warmup) / steady / max(self.n_devices, 1)
+                )
+        return out
 
     def _device_batch(self, batch):
         b = {"image": batch["image"], "label": batch["label"]}
@@ -445,7 +460,22 @@ class Trainer:
         if self.dataset_name == "morphem70k":
             from .evaluation.morphem_eval import eval_morphem70k
 
-            return eval_morphem70k(self, epoch)
+            # loop novel-channel strategies when training on a chunk subset
+            # (trainer.py:547-560)
+            tc = self.cfg.train.get("training_chunks")
+            ncis = list(self.cfg.model.get("new_channel_inits") or [None])
+            if tc in (None, "train") or set(str(tc).split("_")) >= set(self.all_chunks):
+                ncis = [None]
+            results: Dict[str, float] = {}
+            for nci in ncis:
+                res = eval_morphem70k(self, epoch, new_channel_init=nci)
+                prefix = "" if nci is None else f"{nci}/"
+                results.update({f"{prefix}{k}": v for k, v in res.items()})
+            if "accuracy" not in results and ncis and ncis[0] is not None:
+                first = results.get(f"{ncis[0]}/accuracy")
+                if first is not None:
+                    results["accuracy"] = first
+            return results
         results = self.eval_regular(epoch)
         if self.cfg.eval.get("eval_subset_channels", False):
             results.update(self.eval_subset_channels())

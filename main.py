@@ -32,6 +32,9 @@ def maybe_init_distributed():
 
     # honor JAX_PLATFORMS even when a sitecustomize preloaded jax before the
     # env var could take effect (e.g. JAX_PLATFORMS=cpu python main.py ...)
+    from diverse_channel_vit_tpu.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     want = os.environ.get("JAX_PLATFORMS")
     if want:
         try:
