@@ -104,6 +104,7 @@ class JUMPCP:
         scale: Optional[float] = 1.0,
         perturbation: str = "compound",
         cyto_mask_paths: Optional[List[str]] = None,
+        device_augment: bool = False,
     ):
         import pandas as pd
 
@@ -134,6 +135,13 @@ class JUMPCP:
         self.is_train = is_train
         self.img_size = img_size
         self.mean, self.std = get_mean_std_dataset("jump_cp")
+        # device_augment: return raw full-channel crops; the jitted train step
+        # runs the whole CellAugmentation pipeline on device (ops/augment.py).
+        # Only valid for the plain full-channel train path.
+        self.device_augment = bool(
+            device_augment and is_train and not channel_mask
+            and len(self.channels) == self.NUM_TOTAL_CHANNELS and self.scale == 1.0
+        )
 
     def __len__(self) -> int:
         return len(self.data_path)
@@ -146,6 +154,9 @@ class JUMPCP:
 
     def get_example(self, index: int, rng: Optional[np.random.Generator] = None) -> dict:
         img = self._load(index)
+        if self.device_augment:
+            # raw crop; geometric/photometric augs + normalize happen on device
+            return {"image": img[self.channels], "label": int(self.labels[index])}
         if self.is_train:
             rng = rng or np.random.default_rng()
             img = random_pad_crop(rng, img, pad_to=256, crop=self.img_size)

@@ -263,6 +263,7 @@ def _build_split(name: str, cfg_dataset, chunk_channels, split: str, is_train: b
             channels=chunk_channels,
             is_train=is_train,
             img_size=cfg_dataset.get("img_size", 224),
+            device_augment=bool(getattr(cfg_dataset, "_device_augment", False)),
         )
     if name in ("morphem70k", "Allen", "HPA", "CP"):
         return cls(
@@ -291,6 +292,11 @@ def get_train_val_test_loaders(
     splits the reference evaluates in ``eval_regular``).
     """
     name = cfg.dataset.name
+    # annotate the dataset cfg with the train-side device-augment flag
+    try:
+        cfg.dataset._device_augment = bool(cfg.train.get("device_augment", False))
+    except Exception:
+        pass
     bs = cfg.train.batch_size
     eval_bs = cfg.eval.get("batch_size") or bs
     nw = cfg.hardware.get("num_workers", 0) or 0

@@ -287,6 +287,7 @@ class Trainer:
                 temperature=self.temperature,
                 miro_pre_params=self.miro_pre_params,
                 miro_ld=self.miro_ld if self.miro else 0.0,
+                augment_fn=self._device_augment_fn(),
                 donate=bool(self.cfg.train.get("donate_state", True)),
             )
         return self._train_steps[key]
@@ -309,8 +310,29 @@ class Trainer:
                 temperature=self.temperature,
                 miro_pre_params=self.miro_pre_params,
                 miro_ld=self.miro_ld if self.miro else 0.0,
+                augment_fn=self._device_augment_fn(),
             )
         return self._grad_steps[key]
+
+    def _device_augment_fn(self):
+        """On-device JUMP-CP augmentation when the loader ships raw crops."""
+        if self.dataset_name != "jump_cp" or not self.cfg.train.get("device_augment", False):
+            return None
+        train_ds = self.train_loaders[self.all_chunks[0]].dataset
+        if not getattr(train_ds, "device_augment", False):
+            return None
+        from .data.normalization import get_mean_std_dataset
+        from .ops.augment import jumpcp_train_augment
+
+        mean, std = get_mean_std_dataset("jump_cp")
+        mean = jnp.asarray(mean, jnp.float32)
+        std = jnp.asarray(std, jnp.float32)
+        img_size = int(self.cfg.dataset.get("img_size", 224))
+
+        def fn(key, imgs):
+            return jumpcp_train_augment(key, imgs, mean, std, img_size=img_size)
+
+        return fn
 
     def _get_eval_step(self, chunk=None):
         if chunk not in self._eval_steps:

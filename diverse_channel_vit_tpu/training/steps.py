@@ -163,14 +163,20 @@ def make_train_step(
     temperature: float = 0.11111,
     miro_pre_params=None,
     miro_ld: float = 0.0,
+    augment_fn: Optional[Callable] = None,
     donate: bool = True,
 ) -> Callable[[TrainState, Dict[str, jax.Array], jax.Array], Tuple[TrainState, Dict]]:
-    """Fused grad + optimizer update for a single-chunk batch."""
+    """Fused grad + optimizer update for a single-chunk batch.
+
+    ``augment_fn(key, images) -> images`` runs the on-device augmentation
+    pipeline (ops/augment.py) inside the compiled step."""
     cids_const = jnp.asarray(tuple(channel_ids), jnp.int32)
 
     def step(state: TrainState, batch, rng):
-        rng_sample, rng_drop = jax.random.split(rng)
+        rng_sample, rng_drop, rng_aug = jax.random.split(rng, 3)
         x, y = batch["image"], batch["label"]
+        if augment_fn is not None:
+            x = augment_fn(rng_aug, x)
 
         def loss_fn(params):
             xs, cs, override = _select_channels(
@@ -210,6 +216,7 @@ def make_grad_step(
     temperature: float = 0.11111,
     miro_pre_params=None,
     miro_ld: float = 0.0,
+    augment_fn: Optional[Callable] = None,
 ):
     """Per-chunk gradient microbatch: returns (grads, metrics), no update.
 
@@ -220,8 +227,10 @@ def make_grad_step(
     cids_const = jnp.asarray(tuple(channel_ids), jnp.int32)
 
     def grad_step(params, batch, rng):
-        rng_sample, rng_drop = jax.random.split(rng)
+        rng_sample, rng_drop, rng_aug = jax.random.split(rng, 3)
         x, y = batch["image"], batch["label"]
+        if augment_fn is not None:
+            x = augment_fn(rng_aug, x)
 
         def loss_fn(p):
             xs, cs, override = _select_channels(
