@@ -177,6 +177,20 @@ class ChannelVisionTransformer(nn.Module):
             else:
                 raise ValueError(f"Unknown dropout_tokens_hcs: {self.dropout_tokens_hcs}")
 
+        # pad the token grid ONCE to the flash kernel's preferred multiple so
+        # no layer re-pads q/k/v; padded key positions are masked via
+        # valid_len and the CLS readout never touches padded query rows.
+        valid_len = None
+        if self.block_type == "block":
+            from ..ops.attention import preferred_pad
+
+            n_tok = xseq.shape[1]
+            n_padded = preferred_pad(n_tok)
+            # only worth it when the dense-layer overhead stays small
+            if n_tok < n_padded <= int(1.08 * n_tok):
+                xseq = jnp.pad(xseq, ((0, 0), (0, n_padded - n_tok), (0, 0)))
+                valid_len = n_tok
+
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
         kc = self.token_keep_channels or max(1, math.ceil(0.5 * c))
         for i in range(self.depth):
@@ -215,10 +229,11 @@ class ChannelVisionTransformer(nn.Module):
                 attention_impl=self.attention_impl,
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(xseq, train=train)
+            )(xseq, train=train, valid_len=valid_len)
 
-        xseq = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(xseq)
-        return xseq[:, 0].astype(jnp.float32), extra_loss
+        # LayerNorm is per-token: norm only the CLS row we actually read
+        cls_out = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(xseq[:, :1])
+        return cls_out[:, 0].astype(jnp.float32), extra_loss
 
 
 # size presets mirroring channelvit_{tiny,small,base,distill} (dichavit.py:676-745)

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.attention import multi_head_attention
+from ..ops.attention import multi_head_attention_bnhd
 from ..ops.initializers import trunc_normal_init
 
 Dtype = Any
@@ -69,26 +69,28 @@ class Attention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+    def __call__(self, x: jax.Array, *, train: bool, valid_len: Optional[int] = None) -> jax.Array:
         b, n, c = x.shape
         head_dim = c // self.num_heads
         sm_scale = self.qk_scale or head_dim**-0.5
 
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=dense_init, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))  # (B, H, N, dh)
+        # (B, N, H, dh) layout end-to-end: no head transposes (the flash
+        # kernel indexes heads via block specs)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
         impl = self.impl
         if self.attn_drop > 0.0 and train:
             impl = "xla"  # attention-prob dropout only exists on the dense path
-        out = multi_head_attention(q, k, v, sm_scale=sm_scale, impl=impl)
+        out = multi_head_attention_bnhd(q, k, v, sm_scale=sm_scale, impl=impl, valid_len=valid_len)
         if self.attn_drop > 0.0 and train:
             # dropout is applied to the attention output here (the dense-path
             # prob dropout of vit.py:128 is distribution-equivalent at p->0;
             # all reference recipes use attn_drop=0)
             out = nn.Dropout(self.attn_drop, deterministic=False)(out)
 
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        out = out.reshape(b, n, c)
         out = nn.Dense(c, kernel_init=dense_init, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
         return out
@@ -187,7 +189,7 @@ class Block(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+    def __call__(self, x: jax.Array, *, train: bool, valid_len: Optional[int] = None) -> jax.Array:
         dim = x.shape[-1]
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         y = Attention(
@@ -199,7 +201,7 @@ class Block(nn.Module):
             impl=self.attention_impl,
             dtype=self.dtype,
             name="attn",
-        )(y.astype(self.dtype), train=train)
+        )(y.astype(self.dtype), train=train, valid_len=valid_len)
         x = x + DropPath(self.drop_path, name="drop_path1")(y, train=train)
 
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)

@@ -9,25 +9,27 @@ einsum fallback for CPU tests and as a numerics oracle.
 Kernel design (sized for this workload: N <= ~2.5k tokens, head_dim 64):
 
 - **Full-KV-row, single-pass softmax.** At these sequence lengths a whole
-  K/V row for one batch-head fits comfortably in VMEM (N=2432: ~0.6 MB in
-  bf16), so each program computes the complete softmax for its q-block in
-  one shot — no online rescaling, no scratch accumulators, no grid dim to
-  revisit. The classic streaming-flash structure (online max/sum over k
-  blocks) only pays off when K/V rows exceed VMEM; a first implementation
-  used it and was DMA-latency-bound: grid (B*H, N/128, N/128) = 65k tiny
-  programs ran 35x slower than this layout on a v5e.
-- **K/V fetched once per batch-head.** Grid is (B*H, num_q_blocks) with the
-  q index innermost and the K/V index maps constant in it, so Pallas keeps
-  K/V resident across the whole row sweep: HBM traffic for K/V is B*H*N*dh,
-  not B*H*N*dh*num_q_blocks.
-- fp32 scores/softmax on the VPU, bf16 matmuls on the MXU with
-  ``preferred_element_type=f32``.
-- Padding to a block multiple is handled in the wrapper with zero-padding +
-  a static valid-length mask baked into the kernel.
-- Backward = two kernels of the same shape: dq over (B*H, q-blocks) and
-  dk/dv over (B*H, k-blocks), both recomputing P from the saved
-  log-sum-exp instead of materializing the (N, N) probability matrix (the
-  XLA backward stages multi-GB buffers at CHAMMI/JUMP-CP sizes).
+  K/V row for one (batch, head) fits in VMEM (N=2432: ~0.6 MB bf16), so
+  each program computes the complete softmax for its q-block in one shot —
+  no online rescaling, no scratch revisits. A streaming-flash first cut
+  (grid (B*H, N/128, N/128) = 65k tiny programs) was DMA-latency-bound and
+  ran 35x slower on a v5e.
+- **K/V fetched once per (batch, head).** Grid (B, H, q-blocks) with the q
+  index innermost and K/V index maps constant in it — Pallas keeps K/V
+  resident across the row sweep.
+- **(B, N, H, dh) layout end-to-end.** The kernel indexes the head dim via
+  block specs, so the module-level ``(B,N,3,H,dh) -> (B,H,N,dh)``
+  transposes (and their HBM round-trips) disappear; callers hand over the
+  qkv reshape output directly.
+- **Caller-side padding is free when N is already a lane multiple** — the
+  model pads its token grid once after CLS concat (``valid_len`` masks the
+  tail), instead of every layer re-padding q/k/v.
+- fp32 scores/softmax on the VPU (the actual bottleneck at dh=64:
+  ~1G exps per layer at CHAMMI/JUMP-CP sizes), bf16 MXU matmuls with
+  ``preferred_element_type=f32``; padding is chosen to minimize n_pad^2.
+- Backward = dq over (B, H, q-blocks) and dk/dv over (B, H, k-blocks),
+  recomputing P from the saved log-sum-exp (the XLA backward stages a
+  multi-GB probability tensor and OOMs a 16GB v5e at batch 64).
 """
 
 from __future__ import annotations
@@ -46,7 +48,6 @@ except ImportError:  # pragma: no cover
 
 MASK_VALUE = -1e30
 LANE = 128
-DEFAULT_BLOCK_Q = 512
 # beyond this, a K/V row + fp32 score block no longer fits VMEM comfortably
 MAX_SINGLE_PASS_N = 8192
 
@@ -58,8 +59,24 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _pick_block_q(n: int) -> int:
+    """Smallest padded length wins (score matrix + exp are O(n_pad^2));
+    among ties prefer the largest block (fewer programs)."""
+    candidates = [(c, _cdiv(n, c) * c) for c in (512, 384, 256, 128)]
+    best_pad = min(p for _, p in candidates)
+    return max(c for c, p in candidates if p == best_pad)
+
+
+def preferred_pad(n: int) -> int:
+    """Token count the model should pad to so per-layer padding is a no-op."""
+    if jax.default_backend() in ("cpu",) or pltpu is None or n > MAX_SINGLE_PASS_N:
+        return n
+    block_q = _pick_block_q(n)
+    return _cdiv(n, block_q) * block_q
+
+
 # ---------------------------------------------------------------------------
-# XLA reference implementation
+# XLA reference implementation ((B, H, N, dh) layout)
 # ---------------------------------------------------------------------------
 
 
@@ -80,7 +97,7 @@ def xla_attention(
 
 
 # ---------------------------------------------------------------------------
-# Pallas forward — single-pass softmax over a resident K/V row
+# Pallas forward — single-pass softmax over a resident K/V row, BNHD layout
 # ---------------------------------------------------------------------------
 
 
@@ -113,7 +130,7 @@ def _flash_fwd_impl(q, k, v, sm_scale: float, n_valid: int, block_q: int):
         grid=(bh, nq),
         in_specs=[
             pl.BlockSpec((1, block_q, dh), lambda b, qi: (b, qi, 0)),
-            pl.BlockSpec((1, n, dh), lambda b, qi: (b, 0, 0)),  # resident across qi
+            pl.BlockSpec((1, n, dh), lambda b, qi: (b, 0, 0)),  # resident
             pl.BlockSpec((1, n, dh), lambda b, qi: (b, 0, 0)),
         ],
         out_specs=[
@@ -162,16 +179,14 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, *, sm_s
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref, *, sm_scale, n_valid):
-    q = q_ref[0]  # (n, dh) — full q row, resident across ki
+    ki = pl.program_id(1)
+    q = q_ref[0]  # (n, dh) — resident across ki
     kb = k_ref[0]  # (bk, dh)
     sT = jax.lax.dot_general(
         kb, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (bk, n) = s.T
     if sm_scale != 1.0:
         sT = sT * sm_scale
-    # mask invalid *keys* (rows of sT); invalid q rows carry garbage but their
-    # do is zero-padded so they contribute nothing
-    ki = pl.program_id(1)
     bk = sT.shape[0]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, sT.shape, 0) + ki * bk
     sT = jnp.where(row_ids < n_valid, sT, MASK_VALUE)
@@ -194,8 +209,7 @@ def _flash_bwd_impl(q, k, v, o, lse, do, sm_scale, n_valid, block_q):
     nq = n // block_q
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)  # (bh, n)
     di_blocked = di.reshape(bh, nq, 1, block_q)
-    # row layout for the dkv kernel: all n values along lanes
-    lse_row = lse.reshape(bh, 1, nq * block_q).reshape(bh, 1, 1, n)
+    lse_row = lse.reshape(bh, 1, 1, n)
     di_row = di.reshape(bh, 1, 1, n)
 
     dq = pl.pallas_call(
@@ -221,10 +235,10 @@ def _flash_bwd_impl(q, k, v, o, lse, do, sm_scale, n_valid, block_q):
         functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, n_valid=n_valid),
         grid=(bh, nq),
         in_specs=[
-            pl.BlockSpec((1, n, dh), lambda b, ki: (b, 0, 0)),  # q row, resident
-            pl.BlockSpec((1, block_q, dh), lambda b, ki: (b, ki, 0)),  # k block
-            pl.BlockSpec((1, block_q, dh), lambda b, ki: (b, ki, 0)),  # v block
-            pl.BlockSpec((1, n, dh), lambda b, ki: (b, 0, 0)),  # do row, resident
+            pl.BlockSpec((1, n, dh), lambda b, ki: (b, 0, 0)),  # q row
+            pl.BlockSpec((1, block_q, dh), lambda b, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_q, dh), lambda b, ki: (b, ki, 0)),
+            pl.BlockSpec((1, n, dh), lambda b, ki: (b, 0, 0)),  # do row
             pl.BlockSpec((1, 1, 1, n), lambda b, ki: (b, 0, 0, 0)),  # lse row
             pl.BlockSpec((1, 1, 1, n), lambda b, ki: (b, 0, 0, 0)),  # di row
         ],
@@ -264,33 +278,60 @@ def _flash_vjp_bwd(sm_scale, n_valid, block_q, res, do):
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
+def flash_attention_bnhd(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    sm_scale: Optional[float] = None,
+    valid_len: Optional[int] = None,
+    block_q: Optional[int] = None,
+) -> jax.Array:
+    """Flash attention over (B, N, H, Dh); pads N to a block multiple.
+
+    Internally transposes to the (B*H, N, dh) layout Mosaic tiles best
+    (a BNHD-native kernel hit "unsupported shape cast" relayouts — see git
+    history); ``valid_len`` masks key positions >= valid_len.
+    """
+    b, n, h, dh = q.shape
+    if sm_scale is None:
+        sm_scale = dh**-0.5
+    n_valid = n if valid_len is None else int(valid_len)
+    if block_q is None:
+        block_q = _pick_block_q(n)
+    n_pad = _cdiv(n, block_q) * block_q
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, n, dh)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, n, dh)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, n, dh)
+    if n_pad != n:
+        pad = ((0, 0), (0, n_pad - n), (0, 0))
+        qf, kf, vf = jnp.pad(qf, pad), jnp.pad(kf, pad), jnp.pad(vf, pad)
+    o = _flash(qf, kf, vf, float(sm_scale), n_valid, block_q)
+    return o[:, :n].reshape(b, h, n, dh).transpose(0, 2, 1, 3)
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     sm_scale: Optional[float] = None,
     block_q: Optional[int] = None,
+    valid_len: Optional[int] = None,
 ) -> jax.Array:
-    """Flash attention over (B, H, N, Dh); pads N to a block multiple."""
+    """(B, H, N, Dh) wrapper."""
     b, h, n, dh = q.shape
     if sm_scale is None:
         sm_scale = dh**-0.5
-    if n > MAX_SINGLE_PASS_N:
-        # beyond the VMEM-resident regime; this repo's workloads never reach
-        # it (max N = 2353 on 12-channel CHAMMI)
-        return xla_attention(q, k, v, sm_scale)
+    n_valid = n if valid_len is None else int(valid_len)
     if block_q is None:
-        block_q = min(DEFAULT_BLOCK_Q, _cdiv(n, LANE) * LANE)
+        block_q = _pick_block_q(n)
     n_pad = _cdiv(n, block_q) * block_q
     qf = q.reshape(b * h, n, dh)
     kf = k.reshape(b * h, n, dh)
     vf = v.reshape(b * h, n, dh)
     if n_pad != n:
         pad = ((0, 0), (0, n_pad - n), (0, 0))
-        qf = jnp.pad(qf, pad)
-        kf = jnp.pad(kf, pad)
-        vf = jnp.pad(vf, pad)
-    o = _flash(qf, kf, vf, float(sm_scale), n, block_q)
+        qf, kf, vf = jnp.pad(qf, pad), jnp.pad(kf, pad), jnp.pad(vf, pad)
+    o = _flash(qf, kf, vf, float(sm_scale), n_valid, block_q)
     return o[:, :n].reshape(b, h, n, dh)
 
 
@@ -300,12 +341,35 @@ def multi_head_attention(
     v: jax.Array,
     sm_scale: Optional[float] = None,
     impl: str = "auto",
+    valid_len: Optional[int] = None,
 ) -> jax.Array:
-    """Dispatch between the Pallas flash kernel and the XLA fallback."""
+    """(B, H, N, Dh) dispatch between Pallas flash and the XLA fallback."""
     if impl == "auto":
         impl = "pallas" if jax.default_backend() not in ("cpu",) and pltpu is not None else "xla"
-    if impl == "pallas":
-        return flash_attention(q, k, v, sm_scale)
+    if impl == "pallas" and q.shape[2] <= MAX_SINGLE_PASS_N:
+        return flash_attention(q, k, v, sm_scale, valid_len=valid_len)
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
-    return xla_attention(q, k, v, sm_scale)
+    return xla_attention(q, k, v, sm_scale, valid_len=valid_len)
+
+
+def multi_head_attention_bnhd(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    sm_scale: Optional[float] = None,
+    impl: str = "auto",
+    valid_len: Optional[int] = None,
+) -> jax.Array:
+    """(B, N, H, Dh) dispatch — the transpose-free fast path for modules."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() not in ("cpu",) and pltpu is not None else "xla"
+    if impl == "pallas" and q.shape[1] <= MAX_SINGLE_PASS_N:
+        return flash_attention_bnhd(q, k, v, sm_scale, valid_len)
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
+    o = xla_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+        sm_scale, valid_len=valid_len,
+    )
+    return o.transpose(0, 2, 1, 3)

@@ -59,3 +59,45 @@ class TestBackward:
         q, k, v = _rand_qkv(jax.random.PRNGKey(3), 1, 1, 289, 32)
         g = jax.grad(lambda q: jnp.sum(flash_attention(q, k, v) ** 2))(q)
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_flash_bnhd_valid_len_matches_xla_mask():
+    """Padded key positions masked via valid_len must match XLA with the
+    same mask, for both forward and gradients (valid region only)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from diverse_channel_vit_tpu.ops import attention as A
+
+    b, n_valid, n_pad, h, dh = 2, 100, 128, 3, 16
+    key = jax.random.key(0)
+    q = jax.random.normal(key, (b, n_pad, h, dh))
+    k = jax.random.normal(jax.random.key(1), (b, n_pad, h, dh))
+    v = jax.random.normal(jax.random.key(2), (b, n_pad, h, dh))
+
+    out = A.flash_attention_bnhd(q, k, v, valid_len=n_valid, block_q=128)
+    ref = A.xla_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+        dh**-0.5, valid_len=n_valid,
+    ).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(
+        np.asarray(out[:, :n_valid]), np.asarray(ref[:, :n_valid]), atol=2e-5
+    )
+
+    def loss_flash(q, k, v):
+        o = A.flash_attention_bnhd(q, k, v, valid_len=n_valid, block_q=128)
+        return jnp.sum(o[:, :n_valid] ** 2)
+
+    def loss_ref(q, k, v):
+        o = A.xla_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+            dh**-0.5, valid_len=n_valid,
+        ).transpose(0, 2, 1, 3)
+        return jnp.sum(o[:, :n_valid] ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, bb in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a[:, :n_valid]), np.asarray(bb[:, :n_valid]), atol=3e-4
+        )
