@@ -40,6 +40,35 @@ def _stack_examples(examples: List[dict]) -> Dict[str, np.ndarray]:
     return out
 
 
+def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Background-thread batch prefetch.
+
+    The jitted step runs asynchronously on device; prefetching the *next*
+    host batch while the current step executes keeps the accelerator fed
+    (the role DataLoader worker processes played for the reference).
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item
+
+
 class BatchLoader:
     """Iterates fixed-shape batches over one dataset.
 
@@ -272,6 +301,7 @@ def _build_split(name: str, cfg_dataset, chunk_channels, split: str, is_train: b
             chunk_name=chunk_channels,  # chunk name string for CHAMMI
             is_train=is_train,
             img_size=cfg_dataset.get("img_size", 224),
+            ssl_flag=bool(getattr(cfg_dataset, "_ssl_flag", False)) and is_train,
         )
     raise ValueError(f"dataset {name} not valid!")
 
@@ -292,9 +322,10 @@ def get_train_val_test_loaders(
     splits the reference evaluates in ``eval_regular``).
     """
     name = cfg.dataset.name
-    # annotate the dataset cfg with the train-side device-augment flag
+    # annotate the dataset cfg with train-side flags the dataset ctor needs
     try:
         cfg.dataset._device_augment = bool(cfg.train.get("device_augment", False))
+        cfg.dataset._ssl_flag = bool(cfg.train.get("ssl", False))
     except Exception:
         pass
     bs = cfg.train.batch_size

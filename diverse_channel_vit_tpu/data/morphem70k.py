@@ -67,6 +67,7 @@ class SingleCellDataset:
         img_size: int = 224,
         target_labels: str = "label",
         tps_prob: float = 0.0,
+        ssl_flag: bool = False,
     ):
         import pandas as pd
 
@@ -75,6 +76,12 @@ class SingleCellDataset:
         self.img_size = img_size
         self.tps_prob = tps_prob
         self.root_dir = root_dir
+        # SSL two-view generator (``ContrastiveLearningViewGenerator``,
+        # ``dataset_utils.py:79-87``): two independent augmentations stacked
+        # on a new leading axis. NOTE: the reference wires the flag through
+        # the data layer but its trainer never consumes ``ssl_lambda`` — the
+        # SSL loss is dead config there; we reproduce the data surface.
+        self.ssl_flag = ssl_flag
 
         meta = pd.read_csv(os.path.join(root_dir, file_name))
         if chunk_name in ("Allen", "HPA", "CP"):
@@ -106,6 +113,14 @@ class SingleCellDataset:
     def __len__(self) -> int:
         return len(self.file_paths)
 
+    def _transform_train(self, rng: np.random.Generator, chw: np.ndarray, mean, std) -> np.ndarray:
+        if self.tps_prob > 0 and rng.random() <= self.tps_prob:
+            chw = tps_warp_chw(rng, chw)
+        chw = random_resized_crop(rng, chw, self.img_size, scale=(0.8, 1.0), ratio=(0.9, 1.1))
+        if rng.random() < 0.5:
+            chw = hflip(chw)
+        return normalize_chw(chw, mean, std)
+
     def get_example(self, index: int, rng: Optional[np.random.Generator] = None) -> dict:
         img = _read_image(os.path.join(self.root_dir, self.file_paths[index]))
         chw = fold_channels(img, int(self.channel_widths[index]))
@@ -113,14 +128,12 @@ class SingleCellDataset:
         mean, std = self.mean_stds[chunk]
         if self.is_train:
             rng = rng or np.random.default_rng()
-            if self.tps_prob > 0 and rng.random() <= self.tps_prob:
-                chw = tps_warp_chw(rng, chw)
-            chw = random_resized_crop(rng, chw, self.img_size, scale=(0.8, 1.0), ratio=(0.9, 1.1))
-            if rng.random() < 0.5:
-                chw = hflip(chw)
+            if self.ssl_flag:
+                out = np.stack([self._transform_train(rng, chw, mean, std) for _ in range(2)])
+            else:
+                out = self._transform_train(rng, chw, mean, std)
         else:
-            chw = center_crop(resize(chw, self.img_size), self.img_size)
-        chw = normalize_chw(chw, mean, std)
+            out = normalize_chw(center_crop(resize(chw, self.img_size), self.img_size), mean, std)
         label = self.raw_labels[index]
         label = self.train_classes_dict.get(label, -1) if label is not None else -1
-        return {"image": chw.astype(np.float32), "label": int(label)}
+        return {"image": out.astype(np.float32), "label": int(label)}

@@ -120,8 +120,18 @@ def run_benchmark(
     use_gpu: bool = True,
     knn_metric: str = "l2",
 ) -> pd.DataFrame:
-    """``morphem/benchmark.py:31-90`` parity (umap plotting is a no-op —
-    the reference only uses it for figures, never for metrics)."""
+    """``morphem/benchmark.py:31-90`` parity.
+
+    ``umap=True`` plots when the optional ``umap-learn`` package is present
+    (it is only used for figures in the reference, never for metrics); it
+    degrades to a notice otherwise.
+    """
+    if umap:
+        try:
+            import umap as _umap  # noqa: F401
+        except ImportError:
+            print("[run_benchmark] umap-learn not installed; skipping UMAP figures")
+            umap = False
     task_rows = [
         ("Allen", None, None),
         ("HPA", "Task_three", "cell_type"),

@@ -158,6 +158,7 @@ class Trainer:
             self.lr_schedule = swa_sched
         self.swa_params = None
         self.swa_n = 0
+        self.channel_counter: Dict[int, int] = {}
         self.tx = make_optimizer(
             cfg.optimizer.get("name", "adamw"),
             opt_params,
@@ -178,6 +179,21 @@ class Trainer:
             sample_input=sample,
             sample_channel_ids=jnp.asarray(cids0),
         )
+        # selective training (model_utils.py:21-42 freeze helpers)
+        freeze_other = bool(cfg.model.get("freeze_other", False))
+        last_n = cfg.model.get("unfreeze_last_n_layers", -1)
+        last_n = -1 if last_n is None else int(last_n)
+        if freeze_other or last_n >= 0:
+            from .training.freeze import build_trainable_labels, masked_optimizer
+
+            labels = build_trainable_labels(
+                self.state.params,
+                freeze_other=freeze_other,
+                unfreeze_last_n_layers=last_n,
+                unfreeze_first_layer=bool(cfg.model.get("unfreeze_first_layer", True)),
+            )
+            self.tx = masked_optimizer(self.tx, labels)
+            self.state = self.state.replace(tx=self.tx, opt_state=self.tx.init(self.state.params))
         if self.n_devices > 1:
             self.state = self.state.replace(
                 params=shard_params(self.state.params, self.mesh),
@@ -362,6 +378,8 @@ class Trainer:
             self.logger.info({f"train/{k}": v for k, v in train_metrics.items()}
                              | {"epoch": epoch, "lr": float(self.lr_schedule(self.state.step))},
                              pref_msg=f"[epoch {epoch}/{self.total_epochs}]")
+            if self.channel_counter:
+                self.logger.info({f"channel_usage/{c}": n for c, n in sorted(self.channel_counter.items())})
             every_n = int(self.cfg.eval.get("every_n_epochs", 1) or 1)
             is_last = epoch == self.total_epochs
             if (epoch % every_n == 0 or is_last) and not (
@@ -407,12 +425,15 @@ class Trainer:
         loader_key = SHUFFLE_ALL if SHUFFLE_ALL in self.train_loaders else self.all_chunks[0]
         loader = self.train_loaders[loader_key]
         loader.set_epoch(epoch)
+        from .data.loaders import prefetch
+
+        loader_iter = prefetch(iter(loader), depth=2)
         meters: Dict[str, AverageMeter] = {}
         max_batches = 3 if self.debug else math.inf
         n_images = 0
         t_start = time.perf_counter()
         t_first_step_done = None  # exclude the first step (compile) from imgs/sec
-        for i, batch in enumerate(loader):
+        for i, batch in enumerate(loader_iter):
             if i >= max_batches:
                 break
             if loader_key == SHUFFLE_ALL:
@@ -427,6 +448,11 @@ class Trainer:
             if (self.swa or self.swad) and epoch > self.swa_start:
                 self._swa_update()
             for k, v in metrics.items():
+                if k == "sampled_channels":
+                    # HCS/DCS channel-usage histogram (trainer.py:796-804)
+                    for c in np.asarray(v).ravel().tolist():
+                        self.channel_counter[int(c)] = self.channel_counter.get(int(c), 0) + 1
+                    continue
                 meters.setdefault(k, AverageMeter(k)).update(float(v))
             if (i + 1) % int(self.cfg.train.get("verbose_batches", 50)) == 0:
                 self.logger.info(

@@ -196,6 +196,13 @@ def make_train_step(
 
         grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
         metrics["grad_norm"] = optax.global_norm(grads)
+        if k is not None and k < len(channel_ids):
+            # channel-usage counter input (dichavit.py:66, :214-216)
+            _, cs_dbg, _ = _select_channels(
+                state.params, x, cids_const, rng_sample, k=k, method=hcs_method,
+                temp=hcs_temp, patch_size=patch_size,
+            )
+            metrics["sampled_channels"] = cs_dbg
         new_state = state.apply_gradients(grads=grads)
         return new_state, metrics
 
