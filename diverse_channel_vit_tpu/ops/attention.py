@@ -159,9 +159,26 @@ def _flash_fwd_impl(q, k, v, sm_scale: float, n_valid: int, block_q: int):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, *, sm_scale, n_valid):
+def _bwd_fused_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+    dq_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+    *, sm_scale, n_valid, n_q_blocks,
+):
+    """One pass per q-block: emits the dq block and accumulates dk/dv in
+    fp32 VMEM scratch across the sequential q sweep (dk/dv blocks are
+    revisited — index maps constant in qi). Halves the exp work and drops
+    two matmuls vs separate dq / dkv kernels."""
+    qi = pl.program_id(1)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
     q = q_ref[0]  # (bq, dh)
     k = k_ref[0]  # (n, dh)
+    v = v_ref[0]  # (n, dh)
+    do = do_ref[0]  # (bq, dh)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     if sm_scale != 1.0:
         s = s * sm_scale
@@ -170,38 +187,25 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, *, sm_s
         s = jnp.where(col_ids < n_valid, s, MASK_VALUE)
     p = jnp.exp(s - lse_ref[0, 0, 0][:, None])  # (bq, n)
     dp = jax.lax.dot_general(
-        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, n)
     ds = p * (dp - di_ref[0, 0, 0][:, None]) * sm_scale
     dq_ref[0] = jax.lax.dot(
         ds.astype(k.dtype), k, preferred_element_type=jnp.float32
     ).astype(dq_ref.dtype)
+    dsb = ds.astype(q.dtype)
+    pb = p.astype(do.dtype)
+    dk_scr[...] += jax.lax.dot_general(
+        dsb, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (n, dh)
+    dv_scr[...] += jax.lax.dot_general(
+        pb, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (n, dh)
 
-
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref, *, sm_scale, n_valid):
-    ki = pl.program_id(1)
-    q = q_ref[0]  # (n, dh) — resident across ki
-    kb = k_ref[0]  # (bk, dh)
-    sT = jax.lax.dot_general(
-        kb, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (bk, n) = s.T
-    if sm_scale != 1.0:
-        sT = sT * sm_scale
-    bk = sT.shape[0]
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, sT.shape, 0) + ki * bk
-    sT = jnp.where(row_ids < n_valid, sT, MASK_VALUE)
-    pT = jnp.exp(sT - lse_ref[0, 0][0][None, :])  # (bk, n)
-    do = do_ref[0]  # (n, dh)
-    dv_ref[0] = jax.lax.dot(
-        pT.astype(do.dtype), do, preferred_element_type=jnp.float32
-    ).astype(dv_ref.dtype)
-    dpT = jax.lax.dot_general(
-        v_ref[0], do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (bk, n)
-    dsT = pT * (dpT - di_ref[0, 0][0][None, :]) * sm_scale
-    dk_ref[0] = jax.lax.dot(
-        dsT.astype(q.dtype), q, preferred_element_type=jnp.float32
-    ).astype(dk_ref.dtype)
+    @pl.when(qi == n_q_blocks - 1)
+    def _store():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
 def _flash_bwd_impl(q, k, v, o, lse, do, sm_scale, n_valid, block_q):
@@ -209,52 +213,44 @@ def _flash_bwd_impl(q, k, v, o, lse, do, sm_scale, n_valid, block_q):
     nq = n // block_q
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)  # (bh, n)
     di_blocked = di.reshape(bh, nq, 1, block_q)
-    lse_row = lse.reshape(bh, 1, 1, n)
-    di_row = di.reshape(bh, 1, 1, n)
 
-    dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, n_valid=n_valid),
-        grid=(bh, nq),
-        in_specs=[
-            pl.BlockSpec((1, block_q, dh), lambda b, qi: (b, qi, 0)),
-            pl.BlockSpec((1, n, dh), lambda b, qi: (b, 0, 0)),
-            pl.BlockSpec((1, n, dh), lambda b, qi: (b, 0, 0)),
-            pl.BlockSpec((1, block_q, dh), lambda b, qi: (b, qi, 0)),
-            pl.BlockSpec((1, 1, 1, block_q), lambda b, qi: (b, qi, 0, 0)),
-            pl.BlockSpec((1, 1, 1, block_q), lambda b, qi: (b, qi, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, dh), lambda b, qi: (b, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, n, dh), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_fused_kernel, sm_scale=sm_scale, n_valid=n_valid, n_q_blocks=nq
         ),
-        interpret=INTERPRET,
-    )(q, k, v, do, lse, di_blocked)
-
-    dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, n_valid=n_valid),
         grid=(bh, nq),
         in_specs=[
-            pl.BlockSpec((1, n, dh), lambda b, ki: (b, 0, 0)),  # q row
-            pl.BlockSpec((1, block_q, dh), lambda b, ki: (b, ki, 0)),
-            pl.BlockSpec((1, block_q, dh), lambda b, ki: (b, ki, 0)),
-            pl.BlockSpec((1, n, dh), lambda b, ki: (b, 0, 0)),  # do row
-            pl.BlockSpec((1, 1, 1, n), lambda b, ki: (b, 0, 0, 0)),  # lse row
-            pl.BlockSpec((1, 1, 1, n), lambda b, ki: (b, 0, 0, 0)),  # di row
+            pl.BlockSpec((1, block_q, dh), lambda b, qi: (b, qi, 0)),  # q
+            pl.BlockSpec((1, n, dh), lambda b, qi: (b, 0, 0)),  # k resident
+            pl.BlockSpec((1, n, dh), lambda b, qi: (b, 0, 0)),  # v resident
+            pl.BlockSpec((1, block_q, dh), lambda b, qi: (b, qi, 0)),  # do
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, qi: (b, qi, 0, 0)),  # lse
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, qi: (b, qi, 0, 0)),  # di
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, dh), lambda b, ki: (b, ki, 0)),
-            pl.BlockSpec((1, block_q, dh), lambda b, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_q, dh), lambda b, qi: (b, qi, 0)),  # dq
+            pl.BlockSpec((1, n, dh), lambda b, qi: (b, 0, 0)),  # dk (revisited)
+            pl.BlockSpec((1, n, dh), lambda b, qi: (b, 0, 0)),  # dv (revisited)
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, n, dh), q.dtype),
             jax.ShapeDtypeStruct((bh, n, dh), q.dtype),
+            jax.ShapeDtypeStruct((bh, n, dh), q.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, dh), jnp.float32),
+            pltpu.VMEM((n, dh), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * n * n * dh,
+            bytes_accessed=bh * n * dh * 2 * 6,
+            transcendentals=bh * n * n,
+        ),
         interpret=INTERPRET,
-    )(q, k, v, do, lse_row, di_row)
+    )(q, k, v, do, lse, di_blocked)
     return dq, dk, dv
 
 
