@@ -83,7 +83,16 @@ class Attention(nn.Module):
         impl = self.impl
         if self.attn_drop > 0.0 and train:
             impl = "xla"  # attention-prob dropout only exists on the dense path
-        out = multi_head_attention_bnhd(q, k, v, sm_scale=sm_scale, impl=impl, valid_len=valid_len)
+        if impl == "xla_capture":
+            # analysis path: dense probs sown as intermediates (attention_maps)
+            s = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * sm_scale
+            probs = jax.nn.softmax(s, axis=-1)
+            self.sow("intermediates", "attn_probs", probs)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+        else:
+            out = multi_head_attention_bnhd(q, k, v, sm_scale=sm_scale, impl=impl, valid_len=valid_len)
         if self.attn_drop > 0.0 and train:
             # dropout is applied to the attention output here (the dense-path
             # prob dropout of vit.py:128 is distribution-equivalent at p->0;
@@ -173,6 +182,29 @@ class BlockV2(nn.Module):
             drop=self.drop, dtype=self.dtype, name="mlp",
         )(z.astype(self.dtype), train=train)
         return x + DropPath(self.drop_path, name="drop_path2")(z, train=train)
+
+
+def attention_maps(model, params, x, channel_ids, *, layer_idx: int = -1):
+    """Dense attention probabilities of one layer, for analysis/plotting.
+
+    Counterpart of ``get_last_selfattention`` (``vit.py:620-632``,
+    ``channel_vit_adapt.py:522-531``) and the ``train.plot_attn`` hook: runs
+    the model with dense attention and flax intermediates capture, returns
+    the (B, H, N, N) probabilities of ``layer_idx`` (negative indexes from
+    the end).
+    """
+    import jax
+
+    dense = model.clone(backbone=model.backbone.clone(attention_impl="xla_capture"))
+    _, state = dense.apply(
+        {"params": params}, x, channel_ids, train=False, mutable=["intermediates"]
+    )
+    inter = state["intermediates"]
+    # walk to the backbone's blocks
+    node = inter.get("backbone", inter)
+    keys = sorted((k for k in node if k.startswith("block_")), key=lambda s: int(s.split("_")[1]))
+    probs = [node[k]["attn"]["attn_probs"][0] for k in keys if "attn" in node[k]]
+    return probs[layer_idx]
 
 
 class Block(nn.Module):

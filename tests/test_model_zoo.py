@@ -112,3 +112,17 @@ def test_template_mixing_kernels_linear_in_coefs():
 def test_registry_contents():
     for name in VIT_MODELS:
         assert name in MODEL_REGISTRY
+
+
+def test_attention_maps_extraction():
+    from diverse_channel_vit_tpu.models.vit import attention_maps
+
+    model = build_model("dichavit", _cfg("dichavit"), MAPPER, num_classes=4, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(0), (2, 6, 16, 16))
+    cids = jnp.arange(6)
+    params = model.init({"params": jax.random.key(1), "dropout": jax.random.key(2)},
+                        x, cids, train=False)["params"]
+    probs = attention_maps(model, params, x, cids, layer_idx=-1)
+    n = 6 * 4 + 1  # 6 channels x (16/8)^2 patches + CLS
+    assert probs.shape == (2, 2, n, n)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, rtol=1e-4)
