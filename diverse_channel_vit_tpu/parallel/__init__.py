@@ -14,6 +14,7 @@ from .mesh import (
     shard_batch,
     shard_params,
 )
+from .shardings import apply_param_shardings, param_shardings
 
 __all__ = [
     "make_mesh",
@@ -21,4 +22,6 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "shard_params",
+    "param_shardings",
+    "apply_param_shardings",
 ]

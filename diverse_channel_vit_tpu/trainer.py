@@ -195,10 +195,18 @@ class Trainer:
             self.tx = masked_optimizer(self.tx, labels)
             self.state = self.state.replace(tx=self.tx, opt_state=self.tx.init(self.state.params))
         if self.n_devices > 1:
-            self.state = self.state.replace(
-                params=shard_params(self.state.params, self.mesh),
-                opt_state=shard_params(self.state.opt_state, self.mesh),
-            )
+            if self.mesh.shape.get("model", 1) > 1:
+                from .parallel import apply_param_shardings
+
+                sharded = apply_param_shardings(self.state.params, self.mesh)
+                self.state = self.state.replace(
+                    params=sharded, opt_state=self.tx.init(sharded)
+                )
+            else:
+                self.state = self.state.replace(
+                    params=shard_params(self.state.params, self.mesh),
+                    opt_state=shard_params(self.state.opt_state, self.mesh),
+                )
         self.logger.info(f"model {cfg.model.name}: {param_count(self.state.params):,} params, "
                          f"{self.n_devices} devices, dtype {dtype_name}")
         self.miro_pre_params = None
@@ -371,6 +379,12 @@ class Trainer:
     def train(self):
         timer = Timer()
         best_acc = 0.0
+        best_epoch = 0
+        # optional JAX profiler trace of the first post-compile epoch
+        # (SURVEY §5: the TPU answer to the reference's ad-hoc timers)
+        profile_dir = self.cfg.train.get("profile_dir")
+        if profile_dir:
+            jax.profiler.start_trace(str(profile_dir))
         if not self.debug and not self.cfg.eval.get("skip_eval_first_epoch", False):
             pass  # reference evaluates before training only in some modes
         for epoch in range(self.start_epoch, self.total_epochs + 1):
@@ -392,7 +406,8 @@ class Trainer:
                 else:
                     eval_metrics = self.evaluate_model(epoch)
                     acc = eval_metrics.get("accuracy", 0.0)
-                    best_acc = max(best_acc, acc)
+                    if acc > best_acc:
+                        best_acc, best_epoch = acc, epoch  # BestResult tracker
                     self.logger.info(
                         {f"eval/{k}": v for k, v in eval_metrics.items()} | {"epoch": epoch},
                         pref_msg=f"[eval {epoch}]",
@@ -401,11 +416,14 @@ class Trainer:
             self.logger.info(
                 f"epoch {epoch} done in {timer.lap():.1f}s, ETA {timer.eta(epoch - self.start_epoch + 1, self.total_epochs - self.start_epoch + 1):.0f}s"
             )
+        if profile_dir:
+            jax.profiler.stop_trace()
+            self.logger.info(f"profiler trace written to {profile_dir}")
         if (self.swa or self.swad) and self.swa_params is not None:
             # adopt the averaged weights (trainer.py:1334-1336; no BN to refresh)
             self.state = self.state.replace(params=self.swa_params)
             self.logger.info(f"adopted SWA weights (averaged over {self.swa_n} updates)")
-        self.logger.finish(f"training done: best_acc={best_acc:.4f}")
+        self.logger.finish(f"training done: best_acc={best_acc:.4f} (epoch {best_epoch})")
         return best_acc
 
     def _swa_update(self):
