@@ -80,6 +80,7 @@ class ChannelVisionTransformer(nn.Module):
     dropout_tokens_hcs: str = "none"  # none|random|channel|channel_random50|token_random50
     token_keep_channels: Optional[int] = None  # host-drawn count; None -> ceil(C/2)
     keep_rate: Optional[float] = None  # EViT-style CLS-attention top-k (unused by ref recipes)
+    remat: bool = False  # rematerialize blocks (trade FLOPs for HBM headroom)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -219,7 +220,7 @@ class ChannelVisionTransformer(nn.Module):
                     name=f"block_{i}",
                 )(xseq, train=train)
                 continue
-            xseq = Block(
+            blk = Block(
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias,
@@ -229,7 +230,14 @@ class ChannelVisionTransformer(nn.Module):
                 attention_impl=self.attention_impl,
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(xseq, train=train, valid_len=valid_len)
+            )
+            if self.remat:
+                # closure keeps train/valid_len static under the remat trace
+                xseq = nn.remat(
+                    lambda mdl, xx: mdl(xx, train=train, valid_len=valid_len)
+                )(blk, xseq)
+            else:
+                xseq = blk(xseq, train=train, valid_len=valid_len)
 
         # LayerNorm is per-token: norm only the CLS row we actually read
         cls_out = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(xseq[:, :1])

@@ -498,7 +498,10 @@ class Trainer:
         step = self._get_train_step(cids, k, chunk=self.all_chunks[0])
         rng = self.state.step_rng()
         self.state, metrics = step(self.state, self._device_batch(batch), rng)
-        return {k_: float(v) for k_, v in metrics.items()}
+        return {
+            k_: (v if k_ == "sampled_channels" else float(v))
+            for k_, v in metrics.items()
+        }
 
     def _train_one_batch_morphem(self, batch) -> Dict[str, float]:
         """Per-chunk grad microbatches + one update (``trainer.py:824-931``)."""
