@@ -42,19 +42,82 @@ def _topk_block(queries: jax.Array, bank: jax.Array, *, k: int, metric: str):
     return vals, idx
 
 
-class KNeighbors:
-    """FAISS-parity exact kNN classifier (k=1 by default)."""
+def _sharded_topk(queries: jax.Array, bank: jax.Array, *, k: int, metric: str, mesh):
+    """Bank sharded over the data axis; per-shard top-k merged with one
+    small all-gather (the multi-chip FAISS-GPU replacement)."""
+    from functools import partial
 
-    def __init__(self, k: int = 1, metric: str = "l2", use_gpu: bool = True):
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = mesh.shape["data"]
+    n_bank = bank.shape[0]
+    pad = (-n_bank) % n_dev
+    if pad:
+        # pad with -inf-scoring sentinels (zeros score low under both metrics
+        # after masking below via index validity)
+        bank = jnp.pad(bank, ((0, pad), (0, 0)))
+    shard_len = bank.shape[0] // n_dev
+    bank = jax.device_put(bank, NamedSharding(mesh, P("data", None)))
+
+    def local(q, b):
+        shard_id = jax.lax.axis_index("data")
+        qf = q.astype(jnp.float32)
+        bf = b.astype(jnp.float32)
+        if metric == "cosine":
+            qf = qf / jnp.maximum(jnp.linalg.norm(qf, axis=1, keepdims=True), 1e-12)
+            bf = bf / jnp.maximum(jnp.linalg.norm(bf, axis=1, keepdims=True), 1e-12)
+            scores = qf @ bf.T
+        else:
+            scores = 2.0 * (qf @ bf.T) - jnp.sum(bf * bf, axis=1)[None, :]
+        # mask padded sentinel rows (global id >= n_bank) before the local
+        # top-k, or zeros-rows could displace real candidates
+        gids = shard_id * shard_len + jnp.arange(shard_len)
+        scores = jnp.where(gids[None, :] < n_bank, scores, -jnp.inf)
+        vals, idx = jax.lax.top_k(scores, k)
+        return vals, idx + shard_id * shard_len
+
+    vals, idx = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("data", None)),
+        out_specs=(P(None, "data"), P(None, "data")),
+        check_rep=False,
+    )(queries, bank)
+    # (Q, n_dev*k) candidates -> global top-k
+    best, pos = jax.lax.top_k(vals, k)
+    return best, jnp.take_along_axis(idx, pos, axis=1)
+
+
+class KNeighbors:
+    """FAISS-parity exact kNN classifier (k=1 by default).
+
+    Single-device: one matmul + top-k per query block. Multi-device
+    (``shard_bank=True`` or banks too big for one chip): the bank shards
+    over the ``data`` mesh axis, each shard computes a local top-k and the
+    (Q, devices*k) candidate set merges with one tiny gather.
+    """
+
+    def __init__(self, k: int = 1, metric: str = "l2", use_gpu: bool = True,
+                 shard_bank: Optional[bool] = None):
         del use_gpu  # parity arg; always on-device
         self.k = k
         self.metric = metric
+        self.shard_bank = shard_bank
         self._bank: Optional[jax.Array] = None
         self._y: Optional[np.ndarray] = None
+        self._mesh = None
 
     def fit(self, X: np.ndarray, y: np.ndarray):
         self._bank = jnp.asarray(np.ascontiguousarray(X, np.float32))
         self._y = np.asarray(y)
+        want_shard = self.shard_bank
+        if want_shard is None:
+            # auto: shard when the bank is large and several devices exist
+            want_shard = len(jax.devices()) > 1 and X.size * 4 > 256 * 1024 * 1024
+        if want_shard and len(jax.devices()) > 1:
+            from ..parallel import make_mesh
+
+            self._mesh = make_mesh({"data": -1, "model": 1})
         return self
 
     def kneighbors(self, X: np.ndarray):
@@ -63,9 +126,12 @@ class KNeighbors:
         Xp = np.pad(np.asarray(X, np.float32), ((0, pad), (0, 0)))
         all_idx, all_val = [], []
         for s in range(0, Xp.shape[0], _QUERY_BLOCK):
-            vals, idx = _topk_block(
-                jnp.asarray(Xp[s : s + _QUERY_BLOCK]), self._bank, k=self.k, metric=self.metric
-            )
+            q = jnp.asarray(Xp[s : s + _QUERY_BLOCK])
+            if self._mesh is not None:
+                vals, idx = _sharded_topk(q, self._bank, k=self.k, metric=self.metric,
+                                          mesh=self._mesh)
+            else:
+                vals, idx = _topk_block(q, self._bank, k=self.k, metric=self.metric)
             all_idx.append(np.asarray(idx))
             all_val.append(np.asarray(vals))
         return np.concatenate(all_val)[:n], np.concatenate(all_idx)[:n]

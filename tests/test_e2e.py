@@ -3,6 +3,8 @@ on the synthetic dataset with the tiny "test" model geometry."""
 
 import os
 
+import jax
+
 import numpy as np
 import pytest
 
@@ -76,3 +78,20 @@ def test_hcs_training_path(tmp_path):
     metrics = trainer.train_one_epoch(1)
     assert np.isfinite(metrics["loss"])
     assert metrics["extra_loss"] != 0.0
+
+
+def test_bitwise_determinism_same_seed(tmp_path):
+    """Two runs with the same seed produce identical parameters — the
+    determinism the reference's DDP HCS sampling lacked (SURVEY §2.6)."""
+    def run(tag):
+        cfg = _cfg(tmp_path / tag, extra=["train.seed=777", "train.num_epochs=1",
+                                          "model.enable_sample=True",
+                                          "model.hcs_sampling=lowest_cosine_prob"])
+        t = Trainer(cfg)
+        t.train_one_epoch(1)
+        return t.state.params
+
+    p1 = run("a")
+    p2 = run("b")
+    for l1, l2 in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))

@@ -122,3 +122,20 @@ def test_sgd_classifier_path(tmp_path):
         None, None, "sgd", False, "",
     )
     assert res["accuracies"][0] > 0.6
+
+
+@pytest.mark.parametrize("metric", ["l2", "cosine"])
+def test_sharded_knn_matches_single_device(metric):
+    """Bank sharded over the 8-device CPU mesh must return the same
+    predictions as the single-device path."""
+    rng = np.random.default_rng(3)
+    X_train = rng.normal(size=(333, 24)).astype(np.float32)  # non-divisible size
+    y_train = rng.integers(0, 5, 333)
+    X_test = rng.normal(size=(50, 24)).astype(np.float32)
+
+    single = KNeighbors(k=1, metric=metric, shard_bank=False).fit(X_train, y_train)
+    sharded = KNeighbors(k=1, metric=metric, shard_bank=True).fit(X_train, y_train)
+    assert sharded._mesh is not None
+    p1 = single.predict(X_test)
+    p2 = sharded.predict(X_test)
+    assert (p1 == p2).mean() > 0.99  # distance ties may differ
