@@ -21,7 +21,7 @@ import numpy as np
 from .normalization import get_mean_std_dataset, normalize_chw
 from .registry import register_dataset
 from .tps import tps_warp_chw
-from .transforms import center_crop, hflip, random_resized_crop, resize
+from .transforms import center_crop, hflip, random_resized_crop, resize, sample_rrc_params
 
 TRAIN_CLASS_DICTS = {
     "Allen": {"M0": 0, "M1M2": 1, "M3": 2, "M4M5": 3, "M6M7_complete": 4, "M6M7_single": 5},
@@ -113,26 +113,47 @@ class SingleCellDataset:
     def __len__(self) -> int:
         return len(self.file_paths)
 
-    def _transform_train(self, rng: np.random.Generator, chw: np.ndarray, mean, std) -> np.ndarray:
-        if self.tps_prob > 0 and rng.random() <= self.tps_prob:
-            chw = tps_warp_chw(rng, chw)
-        chw = random_resized_crop(rng, chw, self.img_size, scale=(0.8, 1.0), ratio=(0.9, 1.1))
+    def _train_view(self, rng, tape, channel_width, mean, std) -> np.ndarray:
+        """One augmented train view. TPS-free draws take the native fused
+        unfold+RRC+normalize path (exact RRC semantics, one pass over the
+        tape); TPS draws and toolchain-free hosts use the numpy pipeline."""
+        tps_fire = self.tps_prob > 0 and rng.random() <= self.tps_prob
+        w = int(channel_width)
+        if not tps_fire:
+            from ..native import fold_crop_resize_normalize
+
+            crop = sample_rrc_params(rng, tape.shape[0], w, scale=(0.8, 1.0), ratio=(0.9, 1.1))
+            out = fold_crop_resize_normalize(tape, w, crop, self.img_size, mean, std)
+            if out is not None:
+                return hflip(out) if rng.random() < 0.5 else out
+            # numpy fallback reusing the already-sampled crop
+            chw = fold_channels(tape, w)
+            top, left, ch_, cw = crop
+            from .transforms import _bilinear_resize
+
+            out = _bilinear_resize(chw[:, top : top + ch_, left : left + cw],
+                                   self.img_size, self.img_size)
+            out = normalize_chw(hflip(out) if rng.random() < 0.5 else out, mean, std)
+            return out
+        chw = tps_warp_chw(rng, fold_channels(tape, w))
+        out = random_resized_crop(rng, chw, self.img_size, scale=(0.8, 1.0), ratio=(0.9, 1.1))
         if rng.random() < 0.5:
-            chw = hflip(chw)
-        return normalize_chw(chw, mean, std)
+            out = hflip(out)
+        return normalize_chw(out, mean, std)
 
     def get_example(self, index: int, rng: Optional[np.random.Generator] = None) -> dict:
         img = _read_image(os.path.join(self.root_dir, self.file_paths[index]))
-        chw = fold_channels(img, int(self.channel_widths[index]))
         chunk = self.chunks_col[index]
         mean, std = self.mean_stds[chunk]
+        cw = self.channel_widths[index]
         if self.is_train:
             rng = rng or np.random.default_rng()
             if self.ssl_flag:
-                out = np.stack([self._transform_train(rng, chw, mean, std) for _ in range(2)])
+                out = np.stack([self._train_view(rng, img, cw, mean, std) for _ in range(2)])
             else:
-                out = self._transform_train(rng, chw, mean, std)
+                out = self._train_view(rng, img, cw, mean, std)
         else:
+            chw = fold_channels(img, int(cw))
             out = normalize_chw(center_crop(resize(chw, self.img_size), self.img_size), mean, std)
         label = self.raw_labels[index]
         label = self.train_classes_dict.get(label, -1) if label is not None else -1

@@ -83,15 +83,11 @@ def center_crop(img: np.ndarray, size: int) -> np.ndarray:
     return out
 
 
-def random_resized_crop(
-    rng: np.random.Generator,
-    img: np.ndarray,
-    size: int,
-    scale=(0.8, 1.0),
-    ratio=(0.9, 1.1),
-) -> np.ndarray:
-    """torchvision RandomResizedCrop sampling logic (10 tries then fallback)."""
-    c, h, w = img.shape
+def sample_rrc_params(
+    rng: np.random.Generator, h: int, w: int, scale=(0.8, 1.0), ratio=(0.9, 1.1)
+):
+    """torchvision RandomResizedCrop param sampling (10 tries then fallback).
+    Returns (top, left, crop_h, crop_w)."""
     area = h * w
     log_ratio = np.log(np.asarray(ratio, np.float64))
     for _ in range(10):
@@ -102,8 +98,7 @@ def random_resized_crop(
         if 0 < cw <= w and 0 < ch <= h:
             top = int(rng.integers(0, h - ch + 1))
             left = int(rng.integers(0, w - cw + 1))
-            crop = img[:, top : top + ch, left : left + cw]
-            return _bilinear_resize(crop, size, size)
+            return top, left, ch, cw
     # fallback: center crop of clamped aspect
     in_ratio = w / h
     if in_ratio < ratio[0]:
@@ -112,7 +107,19 @@ def random_resized_crop(
         ch, cw = h, int(round(h * ratio[1]))
     else:
         cw, ch = w, h
-    top, left = (h - ch) // 2, (w - cw) // 2
+    return (h - ch) // 2, (w - cw) // 2, ch, cw
+
+
+def random_resized_crop(
+    rng: np.random.Generator,
+    img: np.ndarray,
+    size: int,
+    scale=(0.8, 1.0),
+    ratio=(0.9, 1.1),
+) -> np.ndarray:
+    """torchvision RandomResizedCrop."""
+    c, h, w = img.shape
+    top, left, ch, cw = sample_rrc_params(rng, h, w, scale, ratio)
     return _bilinear_resize(img[:, top : top + ch, left : left + cw], size, size)
 
 
