@@ -385,10 +385,25 @@ def make_random_instance_train_loader(
     if cfg.dataset.name != "morphem70k":
         return None
     chunks = training_chunks or [list(e.keys())[0] if isinstance(e, dict) else list(e.to_dict().keys())[0] for e in cfg.data_chunk.chunks]
+    from .morphem70k import TRAIN_CLASS_DICTS
+
+    # labels come from the GLOBAL mixed vocabulary (the reference's mixed
+    # loader uses chunk="morphem70k"'s 14-class dict, morphem70k.py:103-118),
+    # not each chunk's local one — the proxy bank spans all classes
+    if training_chunks is None:
+        global_dict = TRAIN_CLASS_DICTS["morphem70k"]
+    else:
+        global_dict, off = {}, 0
+        for part in ("Allen", "HPA", "CP"):
+            if part in chunks:
+                for k_, v_ in TRAIN_CLASS_DICTS[part].items():
+                    global_dict[k_] = off + v_
+                off += len(TRAIN_CLASS_DICTS[part])
     datasets = {}
     for chunk_name in chunks:
         ds = _build_split("morphem70k", cfg.dataset, chunk_name, "train", True, seed)
         ds.tps_prob = cfg.train.get("tps_prob", 0.0)
+        ds.train_classes_dict = global_dict
         datasets[chunk_name] = ds
     return MixedChunkLoader(
         datasets,

@@ -48,9 +48,12 @@ def make_mesh(
             raise ValueError(f"{n} devices not divisible by fixed axes {fixed}")
         mesh_cfg[wildcard_axis] = n // fixed
     shape = tuple(mesh_cfg.values())
-    if int(np.prod(shape)) != n:
-        raise ValueError(f"Mesh {mesh_cfg} does not cover {n} devices")
-    dev_array = np.asarray(devices).reshape(shape)
+    total = int(np.prod(shape))
+    if total > n:
+        raise ValueError(f"Mesh {mesh_cfg} needs {total} devices, have {n}")
+    # an explicit mesh smaller than the host's device count uses a prefix
+    # subset (e.g. pinning a debug run to one chip of a multi-chip host)
+    dev_array = np.asarray(devices[:total]).reshape(shape)
     return Mesh(dev_array, tuple(mesh_cfg.keys()))
 
 

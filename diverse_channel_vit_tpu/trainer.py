@@ -103,8 +103,20 @@ class Trainer:
         self.classes = train_classes
 
         # -- model ---------------------------------------------------------
-        if not cfg.model.get("in_channel_names"):
+        # the reference fills model.in_channel_names from the dataset at
+        # runtime (main.py:32-33); YAML placeholders like "FILL_LATER" are
+        # strings — len("FILL_LATER") silently sized the channel tables once,
+        # so anything non-list counts as unset
+        icn = cfg.model.get("in_channel_names")
+        if not icn or isinstance(icn, str):
             cfg.model.in_channel_names = cfg.dataset.in_channel_names
+        n_total = len(cfg.model.in_channel_names)
+        max_id = max((max(ids) for ids in self.mapper.values() if len(ids)), default=0)
+        if max_id >= n_total:
+            raise ValueError(
+                f"mapper channel id {max_id} out of range for "
+                f"{n_total} in_channel_names — check dataset/model config"
+            )
         self.model = model_zoo.build_model(
             cfg.model.name, cfg.model, self.mapper, self.num_classes, dtype=self.dtype
         )
