@@ -140,6 +140,7 @@ SECTION_DEFAULTS = {
         # TPU-specific additions
         "attention_impl": "auto",  # auto | pallas | xla
         "remat": False,  # rematerialize transformer blocks (HBM headroom)
+        "scan_blocks": False,  # one nn.scan loop over blocks (fast compile; stacked params)
     },
     "dataset": {
         "name": None,

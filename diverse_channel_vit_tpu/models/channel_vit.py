@@ -81,6 +81,7 @@ class ChannelVisionTransformer(nn.Module):
     token_keep_channels: Optional[int] = None  # host-drawn count; None -> ceil(C/2)
     keep_rate: Optional[float] = None  # EViT-style CLS-attention top-k (unused by ref recipes)
     remat: bool = False  # rematerialize blocks (trade FLOPs for HBM headroom)
+    scan_blocks: bool = False  # compile blocks as one nn.scan loop (fast compile)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -191,6 +192,24 @@ class ChannelVisionTransformer(nn.Module):
             if n_tok < n_padded <= int(1.08 * n_tok):
                 xseq = jnp.pad(xseq, ((0, 0), (0, n_padded - n_tok), (0, 0)))
                 valid_len = n_tok
+
+        if self.scan_blocks and self.block_type == "block":
+            from .vit import BlockStack
+
+            xseq = BlockStack(
+                depth=self.depth,
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                drop=self.drop_rate,
+                attn_drop=self.attn_drop_rate,
+                drop_path_rate=self.drop_path_rate,
+                attention_impl=self.attention_impl,
+                dtype=self.dtype,
+                name="blocks",
+            )(xseq, train=train, valid_len=valid_len)
+            cls_out = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(xseq[:, :1])
+            return cls_out[:, 0].astype(jnp.float32), extra_loss
 
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
         kc = self.token_keep_channels or max(1, math.ceil(0.5 * c))

@@ -49,6 +49,7 @@ def _build_channel_vit(cfg_model, mapper: dict, num_classes: int, dtype) -> Chan
         dropout_tokens_hcs=cfg_model.get("dropout_tokens_hcs", "none") or "none",
         keep_rate=cfg_model.get("keep_rate"),
         remat=bool(cfg_model.get("remat", False)),
+        scan_blocks=bool(cfg_model.get("scan_blocks", False)),
         dtype=dtype,
         **preset,
     )

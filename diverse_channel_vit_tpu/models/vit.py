@@ -44,15 +44,18 @@ class Mlp(nn.Module):
 
 
 class DropPath(nn.Module):
-    """Stochastic depth, per sample (reference ``vit.py:37-56``)."""
+    """Stochastic depth, per sample (reference ``vit.py:37-56``).
+
+    ``rate_override`` accepts a traced rate (scanned per-layer schedule)."""
 
     rate: float
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
-        if self.rate == 0.0 or not train:
+    def __call__(self, x: jax.Array, *, train: bool,
+                 rate_override: Optional[jax.Array] = None) -> jax.Array:
+        if not train or (rate_override is None and self.rate == 0.0):
             return x
-        keep = 1.0 - self.rate
+        keep = (1.0 - rate_override) if rate_override is not None else (1.0 - self.rate)
         rng = self.make_rng("dropout")
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, shape)
@@ -207,8 +210,70 @@ def attention_maps(model, params, x, channel_ids, *, layer_idx: int = -1):
     return probs[layer_idx]
 
 
+class BlockStack(nn.Module):
+    """``depth`` transformer blocks compiled as ONE ``nn.scan`` loop.
+
+    Functionally identical to ``depth`` stacked :class:`Block` modules with
+    the standard linear drop-path schedule, but XLA traces/compiles a single
+    block body instead of ``depth`` inlined copies — first-compile drops
+    ~an order of magnitude, which matters when every HCS channel count is
+    its own specialization. Parameters stack along a leading (depth, ...)
+    axis (``blocks/...``), so checkpoints are NOT interchangeable with the
+    unrolled layout; pick one per run via ``model.scan_blocks``.
+    """
+
+    depth: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    attention_impl: str = "auto"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool, valid_len: Optional[int] = None) -> jax.Array:
+        dpr = jnp.asarray(
+            [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)],
+            jnp.float32,
+        )
+        num_heads, mlp_ratio = self.num_heads, self.mlp_ratio
+        qkv_bias, drop, attn_drop = self.qkv_bias, self.drop, self.attn_drop
+        attention_impl, dtype = self.attention_impl, self.dtype
+
+        class _Body(nn.Module):
+            @nn.compact
+            def __call__(self, carry, rate):
+                y = Block(
+                    num_heads=num_heads,
+                    mlp_ratio=mlp_ratio,
+                    qkv_bias=qkv_bias,
+                    drop=drop,
+                    attn_drop=attn_drop,
+                    drop_path=0.0,  # applied with the traced per-layer rate
+                    attention_impl=attention_impl,
+                    dtype=dtype,
+                    name="block",
+                )(carry, train=train, valid_len=valid_len, drop_path_override=rate)
+                return y, None
+
+        scan = nn.scan(
+            _Body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(0,),
+            length=self.depth,
+        )
+        y, _ = scan(name="blocks")(x, dpr)
+        return y
+
+
 class Block(nn.Module):
-    """Pre-norm transformer block (reference ``vit.py:346-399``)."""
+    """Pre-norm transformer block (reference ``vit.py:346-399``).
+
+    ``drop_path_override`` feeds a *traced* per-layer stochastic-depth rate
+    (used by :class:`BlockStack`'s scanned schedule)."""
 
     num_heads: int
     mlp_ratio: float = 4.0
@@ -221,7 +286,8 @@ class Block(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool, valid_len: Optional[int] = None) -> jax.Array:
+    def __call__(self, x: jax.Array, *, train: bool, valid_len: Optional[int] = None,
+                 drop_path_override: Optional[jax.Array] = None) -> jax.Array:
         dim = x.shape[-1]
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         y = Attention(
@@ -234,7 +300,9 @@ class Block(nn.Module):
             dtype=self.dtype,
             name="attn",
         )(y.astype(self.dtype), train=train, valid_len=valid_len)
-        x = x + DropPath(self.drop_path, name="drop_path1")(y, train=train)
+        x = x + DropPath(self.drop_path, name="drop_path1")(
+            y, train=train, rate_override=drop_path_override
+        )
 
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         y = Mlp(
@@ -244,5 +312,7 @@ class Block(nn.Module):
             dtype=self.dtype,
             name="mlp",
         )(y.astype(self.dtype), train=train)
-        x = x + DropPath(self.drop_path, name="drop_path2")(y, train=train)
+        x = x + DropPath(self.drop_path, name="drop_path2")(
+            y, train=train, rate_override=drop_path_override
+        )
         return x

@@ -126,3 +126,26 @@ def test_attention_maps_extraction():
     n = 6 * 4 + 1  # 6 channels x (16/8)^2 patches + CLS
     assert probs.shape == (2, 2, n, n)
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, rtol=1e-4)
+
+
+def test_scan_blocks_equivalent_to_unrolled():
+    """BlockStack(nn.scan) with restacked per-layer params must reproduce the
+    unrolled forward exactly (eval mode, no dropout)."""
+    from diverse_channel_vit_tpu.models.channel_vit import ChannelVisionTransformer
+
+    kw = dict(num_total_channels=6, img_size=16, patch_size=8, embed_dim=32,
+              depth=3, num_heads=2, attention_impl="xla")
+    m_unroll = ChannelVisionTransformer(**kw)
+    m_scan = ChannelVisionTransformer(**kw, scan_blocks=True)
+    x = jax.random.normal(jax.random.key(0), (2, 6, 16, 16))
+    cids = jnp.arange(6)
+    p = m_unroll.init({"params": jax.random.key(1), "dropout": jax.random.key(2)},
+                      x, cids, train=False)["params"]
+    # restack block_i params into the scan layout
+    blocks = [p[f"block_{i}"] for i in range(3)]
+    stacked = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls, axis=0), *blocks)
+    p_scan = {k: v for k, v in p.items() if not k.startswith("block_")}
+    p_scan["blocks"] = {"blocks": {"block": stacked}}
+    out1, _ = m_unroll.apply({"params": p}, x, cids, train=False)
+    out2, _ = m_scan.apply({"params": p_scan}, x, cids, train=False)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
