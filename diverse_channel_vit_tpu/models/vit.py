@@ -230,6 +230,7 @@ class BlockStack(nn.Module):
     attn_drop: float = 0.0
     drop_path_rate: float = 0.0
     attention_impl: str = "auto"
+    remat: bool = True  # scan stacks per-layer residuals; remat keeps HBM O(1 layer)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -240,12 +241,12 @@ class BlockStack(nn.Module):
         )
         num_heads, mlp_ratio = self.num_heads, self.mlp_ratio
         qkv_bias, drop, attn_drop = self.qkv_bias, self.drop, self.attn_drop
-        attention_impl, dtype = self.attention_impl, self.dtype
+        attention_impl, dtype, use_remat = self.attention_impl, self.dtype, self.remat
 
         class _Body(nn.Module):
             @nn.compact
             def __call__(self, carry, rate):
-                y = Block(
+                blk = Block(
                     num_heads=num_heads,
                     mlp_ratio=mlp_ratio,
                     qkv_bias=qkv_bias,
@@ -255,7 +256,16 @@ class BlockStack(nn.Module):
                     attention_impl=attention_impl,
                     dtype=dtype,
                     name="block",
-                )(carry, train=train, valid_len=valid_len, drop_path_override=rate)
+                )
+                if use_remat:
+                    y = nn.remat(
+                        lambda mdl, xx, rr: mdl(
+                            xx, train=train, valid_len=valid_len, drop_path_override=rr
+                        ),
+                        prevent_cse=False,  # safe under scan, enables fusion
+                    )(blk, carry, rate)
+                else:
+                    y = blk(carry, train=train, valid_len=valid_len, drop_path_override=rate)
                 return y, None
 
         scan = nn.scan(
