@@ -171,6 +171,9 @@ class Trainer:
         self.swa_params = None
         self.swa_n = 0
         self.channel_counter: Dict[int, int] = {}
+        if int(cfg.train.get("adaptive_interface_epochs", 0) or 0) > 0:
+            # parity: the reference raises the same (trainer.py:338-339)
+            raise NotImplementedError("currently turn this off: 'adaptive_interface_epochs > 0'")
         self.tx = make_optimizer(
             cfg.optimizer.get("name", "adamw"),
             opt_params,
@@ -178,6 +181,21 @@ class Trainer:
             total_steps=total_steps,
             clip_grad_norm=cfg.train.get("clip_grad_norm"),
         )
+        if self.miro:
+            # MIRO encoders train at lr * miro_lr_mult (trainer.py:1233-1239)
+            import optax
+
+            mult = float(cfg.train.get("miro_lr_mult", 10.0) or 10.0)
+            boosted = optax.chain(self.tx, optax.scale(mult))
+            self.tx = optax.multi_transform(
+                {"base": self.tx, "miro": boosted},
+                lambda params: jax.tree_util.tree_map_with_path(
+                    lambda p, _: "miro" if any(
+                        getattr(k, "key", None) == "miro_var_b" for k in p
+                    ) else "base",
+                    params,
+                ),
+            )
 
         # -- state -----------------------------------------------------------
         chunk0 = self.all_chunks[0]
@@ -597,6 +615,61 @@ class Trainer:
                               rng=self.host_rng)
         return synthesize_rows(table, plan)
 
+    def _dynamic_bank(self):
+        """Exemplar bank for DYNAMIC_INPUT_CORR_* synthesis: (A, C_train, H, W)
+        images of the training channels, drawn from the first train batch
+        (the reference expects ``self.bank`` provided externally,
+        ``channel_vit_adapt.py:154-156``; building it from training data is
+        the natural in-framework source)."""
+        if getattr(self, "_dyn_bank", None) is not None:
+            return self._dyn_bank
+        from .ops.novel_channels import flatten_training_channels
+
+        training_chunks = self.cfg.train.get("training_chunks") or "train"
+        first_chunk = training_chunks.split("_")[0]
+        loader = self.train_loaders.get(first_chunk) or next(iter(self.train_loaders.values()))
+        if hasattr(loader, "loaders"):  # MixedChunkLoader
+            loader = loader.loaders[first_chunk]
+        batch = next(iter(loader))
+        imgs = np.asarray(batch["image"])[:8]  # up to 8 exemplars
+        # the bank's channel axis must align 1:1 with the training-channel
+        # list; loaders already select exactly those channels, but guard
+        # against wider images (e.g. full-channel debug loaders)
+        n_train = len(flatten_training_channels(
+            self.mapper, self.cfg.train.get("training_chunks") or "train"
+        ))
+        if imgs.shape[1] > n_train:
+            imgs = imgs[:, :n_train]
+        self._dyn_bank = jnp.asarray(imgs)
+        return self._dyn_bank
+
+    def _dynamic_override_for_batch(self, split: str, strategy: str, x: jax.Array):
+        """Per-sample (B, C, D) override for dynamic_input_corr_{1..6}."""
+        from .ops.novel_channels import dynamic_input_corr, flatten_training_channels
+
+        variant = int(str(strategy)[-1])
+        training_chunks = self.cfg.train.get("training_chunks") or "train"
+        training_channels = flatten_training_channels(self.mapper, training_chunks)
+        ce = self.state.params["backbone"]["channel_embed"]
+        bank = self._dynamic_bank()
+        b = x.shape[0]
+        rows = []
+        proj_fn = None
+        if variant in (5, 6):
+            kern = self.state.params["backbone"]["proj_kernel"]
+            p = int(self.cfg.model.get("patch_size", 16) or 16)
+            from .ops.patch_embed import per_channel_patch_embed
+
+            proj_fn = lambda xx: per_channel_patch_embed(xx, kern, None, patch_size=p)
+        for i, c in enumerate(self._chunk_channel_ids(split)):
+            if c in training_channels:
+                rows.append(jnp.broadcast_to(ce[c], (b, ce.shape[1])))
+            else:
+                rows.append(dynamic_input_corr(
+                    variant, x, i, bank, ce, training_channels, proj_fn=proj_fn
+                ))
+        return jnp.stack(rows, axis=1)  # (B, C, D)
+
     def eval_regular(self, epoch: int) -> Dict[str, float]:
         """Accuracy per eval split x novel-channel init (``trainer.py:386-472``):
         splits whose channels match train run once; others run once per
@@ -636,7 +709,8 @@ class Trainer:
     def _eval_split(self, split: str, loader, new_channel_init) -> float:
         cids = jnp.asarray(self._chunk_channel_ids(split) if split in self.mapper
                            else self._chunk_channel_ids("train"))
-        override = self._synthesis_override(split, new_channel_init)
+        dynamic = str(new_channel_init).startswith("dynamic_input_corr")
+        override = None if dynamic else self._synthesis_override(split, new_channel_init)
         eval_step = self._get_eval_step(self.all_chunks[0])
         max_batches = 3 if self.debug else math.inf
         correct, total = 0, 0
@@ -644,6 +718,8 @@ class Trainer:
             if i >= max_batches:
                 break
             x = jnp.asarray(batch["image"])
+            if dynamic:
+                override = self._dynamic_override_for_batch(split, new_channel_init, x)
             out = eval_step(self.state.params, x, cids, override)
             if self.loss_type == "proxy":
                 scale = model_scale(self.state.params, self.learnable_temp, self.temperature)

@@ -95,3 +95,18 @@ def test_bitwise_determinism_same_seed(tmp_path):
     p2 = run("b")
     for l1, l2 in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
         np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_convnext_through_trainer(tmp_path):
+    """Chunk-bound ConvNeXt variants train through the Trainer (bind_chunk
+    clones over one param tree)."""
+    cfg = _cfg(tmp_path, extra=[
+        "model=depthwiseconvnext", "train.num_epochs=1", "train.debug=True",
+        "++model.kernels_per_channel=8", "++model.patch_size=4",
+        "++model.pooling_channel_type=weighted_sum_random",
+    ])
+    trainer = Trainer(cfg)
+    metrics = trainer.train_one_epoch(1)
+    assert np.isfinite(metrics["loss"])
+    res = trainer.eval_regular(1)
+    assert "valid/accuracy" in res

@@ -105,3 +105,28 @@ def test_trainer_loo_eval(tmp_path):
     assert "test/avg_2/accuracy" in res
     assert "test/zero/accuracy" in res
     assert "valid/accuracy" in res
+
+
+def test_trainer_dynamic_input_corr_eval(tmp_path):
+    from diverse_channel_vit_tpu.config import load_config
+    from diverse_channel_vit_tpu.trainer import Trainer
+
+    cfg = load_config("synthetic_cfg", [
+        "train.num_epochs=1", "train.debug=True", "train.batch_size=8",
+        "dataset.num_train_samples=16", "dataset.num_eval_samples=8",
+        "hardware.num_workers=0", "model.attention_impl=xla",
+        "model.new_channel_inits=[dynamic_input_corr_1,dynamic_input_corr_4]",
+        f"train.checkpoints={tmp_path}",
+    ])
+    trainer = Trainer(cfg)
+    trainer.mapper = {
+        "train": [0, 1, 2, 3],
+        "valid": [0, 1, 2, 3, 4, 5, 6, 7],
+        "test": [0, 1, 2, 3, 4, 5, 6, 7],  # 4 novel channels
+    }
+    # the test loader yields 8-channel images; train loader 8 too — slice the
+    # bank channels to the train mapper inside _dynamic_bank via loader data
+    res = trainer.eval_regular(1)
+    assert "test/dynamic_input_corr_1/accuracy" in res
+    assert "test/dynamic_input_corr_4/accuracy" in res
+    assert all(np.isfinite(v) for v in res.values())
