@@ -60,11 +60,18 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def _pick_block_q(n: int) -> int:
-    """Smallest padded length wins (score matrix + exp are O(n_pad^2));
-    among ties prefer the largest block (fewer programs)."""
-    candidates = [(c, _cdiv(n, c) * c) for c in (512, 384, 256, 128)]
-    best_pad = min(p for _, p in candidates)
-    return max(c for c, p in candidates if p == best_pad)
+    """Minimal lane-aligned padding first (score matrix + exp are
+    O(n_pad^2)), then the largest q-block that divides it and keeps the fp32
+    score block within a VMEM budget (block_q * n_pad * 4B <= ~3 MB).
+    Measured on v5e at N=1569: n_pad=1664 with block_q=416 beats both 128
+    (more program overhead) and 512 (pads to 2048)."""
+    n_pad = _cdiv(n, LANE) * LANE
+    cap = min(512, (3 * 1024 * 1024) // (4 * n_pad))
+    best = LANE
+    for b in range(8, cap + 1, 8):
+        if n_pad % b == 0:
+            best = b
+    return best
 
 
 def preferred_pad(n: int) -> int:
