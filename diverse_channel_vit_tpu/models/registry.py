@@ -20,7 +20,12 @@ def register_model(name: str):
     return wrap
 
 
-def build_model(name: str, cfg_model, mapper: dict, num_classes: int, dtype):
+def build_model(name: str, cfg_model, mapper: dict, num_classes: int, dtype, **extra):
     if name not in MODEL_REGISTRY:
         raise KeyError(f"Unknown model {name!r}; available: {sorted(MODEL_REGISTRY)}")
-    return MODEL_REGISTRY[name](cfg_model, mapper, num_classes, dtype=dtype)
+    import inspect
+
+    fn = MODEL_REGISTRY[name]
+    accepted = inspect.signature(fn).parameters
+    kwargs = {k: v for k, v in extra.items() if k in accepted}
+    return fn(cfg_model, mapper, num_classes, dtype=dtype, **kwargs)

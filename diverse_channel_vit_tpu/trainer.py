@@ -117,8 +117,12 @@ class Trainer:
                 f"mapper channel id {max_id} out of range for "
                 f"{n_total} in_channel_names — check dataset/model config"
             )
+        attn_pooling = cfg.get("attn_pooling")
+        if attn_pooling is not None and hasattr(attn_pooling, "to_dict"):
+            attn_pooling = attn_pooling.to_dict()
         self.model = model_zoo.build_model(
-            cfg.model.name, cfg.model, self.mapper, self.num_classes, dtype=self.dtype
+            cfg.model.name, cfg.model, self.mapper, self.num_classes, dtype=self.dtype,
+            attn_pooling=attn_pooling,
         )
         self.miro = bool(cfg.train.get("miro", False))
         self.miro_ld = float(cfg.train.get("miro_ld", 0.01) or 0.01)

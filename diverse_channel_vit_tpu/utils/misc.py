@@ -62,3 +62,19 @@ class Timer:
         if done == 0:
             return float("inf")
         return self.elapsed() / done * (total - done)
+
+
+def device_memory_stats() -> dict:
+    """Per-device HBM usage (the reference's GPU memory introspection,
+    ``utils.py:47-110``). Returns {device: {bytes_in_use, bytes_limit}}."""
+    import jax
+
+    out = {}
+    for d in jax.local_devices():
+        stats = getattr(d, "memory_stats", lambda: None)()
+        if stats:
+            out[str(d)] = {
+                "bytes_in_use": stats.get("bytes_in_use"),
+                "bytes_limit": stats.get("bytes_limit"),
+            }
+    return out
