@@ -419,6 +419,16 @@ class Trainer:
         profile_dir = self.cfg.train.get("profile_dir")
         if profile_dir:
             jax.profiler.start_trace(str(profile_dir))
+        # pre-training evaluation (trainer.py:329-333)
+        if (
+            not self.debug
+            and not self.cfg.eval.get("skip_eval_first_epoch", False)
+            and not self.cfg.eval.get("only_eval_first_and_last", False)
+            and self.start_epoch == 1
+        ):
+            eval0 = self.evaluate_model(0)
+            self.logger.info({f"eval/{k}": v for k, v in eval0.items()} | {"epoch": 0},
+                             pref_msg="[eval 0]")
         if not self.debug and not self.cfg.eval.get("skip_eval_first_epoch", False):
             pass  # reference evaluates before training only in some modes
         for epoch in range(self.start_epoch, self.total_epochs + 1):
