@@ -110,3 +110,18 @@ def test_convnext_through_trainer(tmp_path):
     assert np.isfinite(metrics["loss"])
     res = trainer.eval_regular(1)
     assert "valid/accuracy" in res
+
+
+def test_scan_blocks_checkpoint_roundtrip(tmp_path):
+    """Checkpoint save/restore with the stacked (scan) parameter layout."""
+    cfg = _cfg(tmp_path, extra=["++model.scan_blocks=True", "train.num_epochs=1"])
+    t1 = Trainer(cfg)
+    t1.train()
+    cfg2 = _cfg(tmp_path, extra=[
+        "++model.scan_blocks=True", "train.num_epochs=1",
+        "train.resume_train=True", f"train.resume_model={t1.checkpoints}/model_last",
+    ])
+    t2 = Trainer(cfg2)
+    p1 = np.asarray(jax.tree_util.tree_leaves(t1.state.params)[0])
+    p2 = np.asarray(jax.tree_util.tree_leaves(t2.state.params)[0])
+    np.testing.assert_array_equal(p1, p2)
