@@ -74,7 +74,7 @@ def defocus_batch(key: jax.Array, imgs: jax.Array, radii: Sequence[int] = (1, 2,
     b, c, h, w = imgs.shape
     outs = []
     for r in radii:
-        k = jnp.asarray(_disc_kernel(r))[None, None]  # (1, 1, 2r+1, 2r+1)
+        k = jnp.asarray(_disc_kernel(r), imgs.dtype)[None, None]  # (1, 1, 2r+1, 2r+1)
         kern = jnp.broadcast_to(k, (c, 1, 2 * r + 1, 2 * r + 1))
         y = jax.lax.conv_general_dilated(
             jnp.pad(imgs, ((0, 0), (0, 0), (r, r), (r, r)), mode="reflect"),
