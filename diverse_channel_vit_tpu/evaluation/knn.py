@@ -47,8 +47,12 @@ def _sharded_topk(queries: jax.Array, bank: jax.Array, *, k: int, metric: str, m
     small all-gather (the multi-chip FAISS-GPU replacement)."""
     from functools import partial
 
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
 
     n_dev = mesh.shape["data"]
     n_bank = bank.shape[0]
@@ -81,7 +85,7 @@ def _sharded_topk(queries: jax.Array, bank: jax.Array, *, k: int, metric: str, m
         local, mesh=mesh,
         in_specs=(P(), P("data", None)),
         out_specs=(P(None, "data"), P(None, "data")),
-        check_rep=False,
+        check_vma=False,
     )(queries, bank)
     # (Q, n_dev*k) candidates -> global top-k
     best, pos = jax.lax.top_k(vals, k)
