@@ -1,18 +1,23 @@
 """Headline benchmark: DiChaViT-S training throughput at JUMP-CP geometry.
 
-Measures steady-state images/sec of the full jitted training step —
-per-channel patch embed + 8*196+1 = 1569-token flash attention x12 blocks +
-CDL/TDL diversity losses + AdamW update — in bfloat16 on the available
-device(s). This is the driver's north-star metric ("DiChaViT-S images/sec/chip
-on JUMP-CP (8-ch)", BASELINE.json).
+Two measurements of the full jitted training step (per-channel patch embed +
+flash attention x12 + CDL/TDL diversity losses + AdamW, bfloat16):
 
-``vs_baseline`` compares against an *estimated* A100 PyTorch reference of
-500 imgs/s: the repo publishes no numbers (BASELINE.md), so the estimate is
-analytic — ~82 GFLOPs forward/img at 1569 tokens (ViT-S linear terms ~37GF +
-quadratic attention ~45GF), ~3x for training, at 40% A100 bf16 MFU
-(312 TF peak) => ~500 imgs/s. Revise when a measured baseline exists.
+1. **flagship** — HCS off: all 8 channels, 8*196+1 = 1569 tokens. The
+   hardware-stress number (attention is quadratic in tokens).
+2. **recipe** — HCS on, the reference's actual JUMP-CP DiChaViT recipe
+   (``train_scripts.sh:5``): every step draws k ~ U[1,8] channels on the
+   host and runs that k's compiled specialization (E[k]=4.5 -> ~2.8x fewer
+   attention FLOPs than flagship).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` compares against an *estimated* A100 PyTorch reference
+(the repo publishes no numbers, BASELINE.md): ~82 GFLOPs forward/img at
+1569 tokens, 3x for training, 40% A100 bf16 MFU (312 TF peak) => ~500
+imgs/s flagship; the same arithmetic at E[k]=4.5 (~35 GF/img) => ~1170
+imgs/s for the recipe.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"recipe_*": the HCS-on numbers}.
 """
 
 from __future__ import annotations
@@ -20,12 +25,14 @@ from __future__ import annotations
 import json
 import time
 
-A100_ESTIMATE_IMGS_PER_SEC = 500.0
+A100_FLAGSHIP_IMGS_PER_SEC = 500.0
+A100_RECIPE_IMGS_PER_SEC = 1170.0
 
 
 def main():
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from diverse_channel_vit_tpu.compile_cache import enable as _enable_cache
 
@@ -48,6 +55,7 @@ def main():
     state = create_train_state(model, tx, rng=jax.random.key(0),
                                sample_input=x0, sample_channel_ids=jnp.arange(n_channels))
 
+    mesh = None
     if n_devices > 1:
         from diverse_channel_vit_tpu.parallel import make_mesh, shard_batch, shard_params
 
@@ -55,35 +63,57 @@ def main():
         state = state.replace(params=shard_params(state.params, mesh),
                               opt_state=shard_params(state.opt_state, mesh))
 
-    step = make_train_step(
-        model, channel_ids=range(n_channels), loss_type="ce",
-        extra_loss_lambda=1.0, donate=True,
-    )
+    def mk_step(k):
+        return make_train_step(
+            model, channel_ids=range(n_channels), k=k,
+            hcs_method="lowest_cosine_prob" if k else "none",
+            hcs_temp=1000.0,  # train_scripts.sh:5 hcs_sampling_temp
+            patch_size=16, loss_type="ce", extra_loss_lambda=1.0, donate=True,
+        )
+
     key = jax.random.key(1)
     data = {"image": jax.random.normal(jax.random.key(2), (batch, n_channels, img, img), jnp.float32),
             "label": jnp.arange(batch) % 161}
     if n_devices > 1:
+        from diverse_channel_vit_tpu.parallel import shard_batch
+
         data = shard_batch(data, mesh)
 
-    # warmup / compile
-    for i in range(3):
-        state, metrics = step(state, data, jax.random.fold_in(key, i))
-    jax.block_until_ready(metrics["loss"])
+    def measure(steps, iters, warmup=3):
+        nonlocal state
+        for i in range(warmup):
+            state, metrics = steps[i % len(steps)](state, data, jax.random.fold_in(key, i))
+        if warmup:
+            jax.block_until_ready(metrics["loss"])
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, metrics = steps[i % len(steps)](state, data, jax.random.fold_in(key, 100 + i))
+        jax.block_until_ready(metrics["loss"])
+        return batch * iters / (time.perf_counter() - t0)
 
-    iters = 20
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, metrics = step(state, data, jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
+    # 1. flagship: HCS off
+    flagship_step = mk_step(None)
+    flagship = measure([flagship_step], iters=20) / n_devices
 
-    imgs_per_sec = batch * iters / dt
-    per_chip = imgs_per_sec / n_devices
+    # 2. recipe: HCS on, k ~ U[1,8] per step (seeded, same draw order as the
+    # trainer's host rng protocol)
+    rng = np.random.default_rng(0)
+    ks = [int(rng.integers(1, n_channels + 1)) for _ in range(24)]
+    steps_by_k = {k: mk_step(k) for k in sorted(set(ks))}
+    recipe_steps = [steps_by_k[k] for k in ks]
+    # warm every specialization once (compile), then measure the mixture
+    for k, s in steps_by_k.items():
+        state, metrics = s(state, data, key)
+    jax.block_until_ready(metrics["loss"])
+    recipe = measure(recipe_steps, iters=len(ks), warmup=0) / n_devices
+
     print(json.dumps({
         "metric": "dichavit_s_jumpcp_train_images_per_sec_per_chip",
-        "value": round(per_chip, 2),
+        "value": round(flagship, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(per_chip / A100_ESTIMATE_IMGS_PER_SEC, 3),
+        "vs_baseline": round(flagship / A100_FLAGSHIP_IMGS_PER_SEC, 3),
+        "recipe_hcs_on_value": round(recipe, 2),
+        "recipe_vs_baseline": round(recipe / A100_RECIPE_IMGS_PER_SEC, 3),
     }))
 
 

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.attention import multi_head_attention_bnhd
+from ..ops.attention import multi_head_attention_packed
 from ..ops.initializers import trunc_normal_init
 
 Dtype = Any
@@ -77,32 +77,42 @@ class Attention(nn.Module):
         head_dim = c // self.num_heads
         sm_scale = self.qk_scale or head_dim**-0.5
 
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=dense_init, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        # (B, N, H, dh) layout end-to-end: no head transposes (the flash
-        # kernel indexes heads via block specs)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        # three projections instead of the reference's fused qkv: each output
+        # is (B, N, H*dh) in the GEMM's natural layout, which the lane-packed
+        # flash kernel consumes (and whose gradients it emits) directly —
+        # zero layout copies around the attention custom-call, measured
+        # 47.6 ms/step at flagship geometry with the fused-qkv layout.
+        # Numerically identical (one linear map either way).
+        q = nn.Dense(c, use_bias=self.qkv_bias, kernel_init=dense_init, dtype=self.dtype, name="wq")(x)
+        k = nn.Dense(c, use_bias=self.qkv_bias, kernel_init=dense_init, dtype=self.dtype, name="wk")(x)
+        v = nn.Dense(c, use_bias=self.qkv_bias, kernel_init=dense_init, dtype=self.dtype, name="wv")(x)
 
         impl = self.impl
         if self.attn_drop > 0.0 and train:
             impl = "xla"  # attention-prob dropout only exists on the dense path
-        if impl == "xla_capture":
-            # analysis path: dense probs sown as intermediates (attention_maps)
+        if impl == "xla_capture" or (self.attn_drop > 0.0 and train):
+            qh, kh, vh = (
+                t.reshape(b, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+                for t in (q, k, v)
+            )
             s = jnp.einsum(
-                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+                "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
             ) * sm_scale
             probs = jax.nn.softmax(s, axis=-1)
-            self.sow("intermediates", "attn_probs", probs)
-            out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+            if impl == "xla_capture":
+                # analysis path: dense probs sown as intermediates
+                self.sow("intermediates", "attn_probs", probs)
+            if self.attn_drop > 0.0 and train:
+                # prob-matrix dropout, matching the reference's placement
+                # (vit.py:128); recipes use 0
+                probs = nn.Dropout(self.attn_drop, deterministic=False)(probs)
+            out = jnp.einsum("bhqk,bhkd->bqhd", probs.astype(vh.dtype), vh)
+            out = out.reshape(b, n, c)
         else:
-            out = multi_head_attention_bnhd(q, k, v, sm_scale=sm_scale, impl=impl, valid_len=valid_len)
-        if self.attn_drop > 0.0 and train:
-            # dropout is applied to the attention output here (the dense-path
-            # prob dropout of vit.py:128 is distribution-equivalent at p->0;
-            # all reference recipes use attn_drop=0)
-            out = nn.Dropout(self.attn_drop, deterministic=False)(out)
+            out = multi_head_attention_packed(
+                q, k, v, self.num_heads, sm_scale=sm_scale, impl=impl, valid_len=valid_len
+            )
 
-        out = out.reshape(b, n, c)
         out = nn.Dense(c, kernel_init=dense_init, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
         return out
@@ -184,6 +194,53 @@ class BlockV2(nn.Module):
             hidden_features=int(dim * self.mlp_ratio), out_features=dim,
             drop=self.drop, dtype=self.dtype, name="mlp",
         )(z.astype(self.dtype), train=train)
+        return x + DropPath(self.drop_path, name="drop_path2")(z, train=train)
+
+
+class BlockEViT(nn.Module):
+    """Pre-norm block with EViT token reorganization (reference
+    ``Attention_EVIT``, ``vit.py:291-343`` — defined there but never consumed
+    by a Block; wired here at the EViT paper's fuse point: after the
+    attention residual, before the MLP). Keeps the top
+    ``int(keep_rate * (N-1))`` non-CLS tokens by head-mean CLS attention.
+    Dense attention by necessity — the selection needs the CLS row of the
+    probability matrix. The keep count is static (jit-stable shapes)."""
+
+    num_heads: int
+    keep_rate: float = 1.0
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    drop_path: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        from ..ops.token_pruning import evit_cls_attention_select
+
+        b, n, c = x.shape
+        head_dim = c // self.num_heads
+        sm_scale = self.qk_scale or head_dim**-0.5
+        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=dense_init,
+                       dtype=self.dtype, name="attn_qkv")(y.astype(self.dtype))
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        attn = jax.nn.softmax(
+            jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * sm_scale,
+            axis=-1,
+        )
+        y = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
+        y = y.transpose(0, 2, 1, 3).reshape(b, n, c)
+        y = nn.Dense(c, kernel_init=dense_init, dtype=self.dtype, name="attn_proj")(y)
+        x = x + DropPath(self.drop_path, name="drop_path1")(y, train=train)
+        if self.keep_rate < 1.0:
+            x = evit_cls_attention_select(x, attn, self.keep_rate)
+        dim = x.shape[-1]
+        z = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+        z = Mlp(hidden_features=int(dim * self.mlp_ratio), out_features=dim,
+                drop=self.drop, dtype=self.dtype, name="mlp")(z.astype(self.dtype), train=train)
         return x + DropPath(self.drop_path, name="drop_path2")(z, train=train)
 
 

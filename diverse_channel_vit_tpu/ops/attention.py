@@ -13,29 +13,28 @@ Kernel design (sized for this workload: N <= ~2.5k tokens, head_dim 64):
   each program computes the complete softmax for its q-block in one shot —
   no online rescaling, no scratch revisits. A streaming-flash first cut
   (grid (B*H, N/128, N/128) = 65k tiny programs) was DMA-latency-bound and
-  ran 35x slower on a v5e.
-- **K/V fetched once per (batch, head).** Grid (B, H, q-blocks) with the q
-  index innermost and K/V index maps constant in it — Pallas keeps K/V
-  resident across the row sweep.
-- **(B, N, H, dh) layout end-to-end.** The kernel indexes the head dim via
-  block specs, so the module-level ``(B,N,3,H,dh) -> (B,H,N,dh)``
-  transposes (and their HBM round-trips) disappear; callers hand over the
-  qkv reshape output directly.
-- **Caller-side padding is free when N is already a lane multiple** — the
-  model pads its token grid once after CLS concat (``valid_len`` masks the
-  tail), instead of every layer re-padding q/k/v.
-- fp32 scores/softmax on the VPU (the actual bottleneck at dh=64:
-  ~1G exps per layer at CHAMMI/JUMP-CP sizes), bf16 MXU matmuls with
-  ``preferred_element_type=f32``; padding is chosen to minimize n_pad^2.
-- Backward = dq over (B, H, q-blocks) and dk/dv over (B, H, k-blocks),
-  recomputing P from the saved log-sum-exp (the XLA backward stages a
-  multi-GB probability tensor and OOMs a 16GB v5e at batch 64).
+  ran 35x slower on a v5e. This design also beats jax's official pallas
+  flash kernel by ~8x at this geometry (33 ms/layer vs 4.1, measured).
+- **Head packing.** At head_dim 64 every matmul runs the MXU at <=50%
+  (contraction or output width 64); packing `hp` heads per program as one
+  *batched* dot_general keeps the MXU pipeline busier. Measured on v5e-1
+  at N=1569: fwd 4.87 -> 4.07 ms/layer with hp=3, bwd 9.31 -> 8.86 with
+  hp=2 (hp is VMEM-bounded in the bwd: p and ds both live as f32).
+- **K/V fetched once per program row-sweep.** Grid (B*H/hp, q-blocks) with
+  the q index innermost and K/V index maps constant in it.
+- fp32 scores/softmax on the VPU, bf16 MXU matmuls with
+  ``preferred_element_type=f32``; padding minimizes n_pad^2. (Measured:
+  the kernel is NOT exp-bound — deleting the exp entirely does not move
+  the runtime; see PERFORMANCE.md round-2 table.)
+- Backward = one fused kernel per q-block sweep: emits dq, accumulates
+  dk/dv in fp32 VMEM scratch (the XLA backward stages a multi-GB
+  probability tensor and OOMs a 16GB v5e at batch 64).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,24 +53,40 @@ MAX_SINGLE_PASS_N = 8192
 # Interpret mode runs the Pallas kernels on the CPU emulator (for tests).
 INTERPRET = False
 
+# VMEM budgets for the fp32 score block(s): hp * block_q * n_pad * 4B.
+# fwd holds one live score matrix; bwd holds two (p and ds) plus f32 dk/dv
+# scratch, hence the smaller budget (hp=2, bq=416 at N=1664 fails to fit).
+# The lane-packed kernels raise vmem_limit_bytes past the compiler's 16 MB
+# scoped default (v5e physical VMEM is far larger), which the block sweep
+# below relies on.
+_FWD_SCORE_BYTES = 9 * 1024 * 1024
+_BWD_SCORE_BYTES = 3 * 1024 * 1024
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _pick_block_q(n: int) -> int:
+def _pick_block_q(n: int, *, hp: int = 1, budget: int = _FWD_SCORE_BYTES) -> int:
     """Minimal lane-aligned padding first (score matrix + exp are
     O(n_pad^2)), then the largest q-block that divides it and keeps the fp32
-    score block within a VMEM budget (block_q * n_pad * 4B <= ~3 MB).
-    Measured on v5e at N=1569: n_pad=1664 with block_q=416 beats both 128
-    (more program overhead) and 512 (pads to 2048)."""
+    score block within the VMEM budget. Measured on v5e at N=1569:
+    n_pad=1664 with block_q=416 beats both 128 (more program overhead) and
+    512 (pads to 2048)."""
     n_pad = _cdiv(n, LANE) * LANE
-    cap = min(512, (3 * 1024 * 1024) // (4 * n_pad))
-    best = LANE
-    for b in range(8, cap + 1, 8):
+    cap = min(512, budget // (4 * n_pad * hp))
+    best = 8
+    for b in range(8, max(cap, 8) + 1, 8):
         if n_pad % b == 0:
             best = b
     return best
+
+
+def _pick_h_pack(bh: int, *, max_hp: int) -> int:
+    for hp in range(max_hp, 1, -1):
+        if bh % hp == 0:
+            return hp
+    return 1
 
 
 def preferred_pad(n: int) -> int:
@@ -104,50 +119,50 @@ def xla_attention(
 
 
 # ---------------------------------------------------------------------------
-# Pallas forward — single-pass softmax over a resident K/V row, BNHD layout
+# Pallas forward — single-pass softmax, resident K/V, hp heads per program
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale, n_valid):
-    q = q_ref[0]  # (bq, dh)
-    k = k_ref[0]  # (n, dh)
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, n_valid):
+    q = q_ref[...]  # (hp, bq, dh)
+    k = k_ref[...]  # (hp, n, dh)
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (bq, n)
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (hp, bq, n)
     if sm_scale != 1.0:
         s = s * sm_scale
-    if n_valid < s.shape[1]:
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    if n_valid < s.shape[-1]:
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(col_ids < n_valid, s, MASK_VALUE)
 
-    m = jnp.max(s, axis=1, keepdims=True)
+    m = jnp.max(s, axis=2, keepdims=True)
     p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    o = jax.lax.dot(p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32)
-    o_ref[0] = (o / l).astype(o_ref.dtype)
-    lse_ref[0, 0] = (m + jnp.log(l))[:, 0][None, :]
+    l = jnp.sum(p, axis=2, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[...], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = (o / l).astype(o_ref.dtype)
 
 
-def _flash_fwd_impl(q, k, v, sm_scale: float, n_valid: int, block_q: int):
+def _flash_fwd_impl(q, k, v, sm_scale: float, n_valid: int, block_q: int, hp: int):
+    """No lse output: the fused bwd recomputes max/sum alongside the scores
+    it recomputes anyway (the extra VPU reductions hide behind the MXU —
+    measured: deleting the whole softmax chain doesn't move the fwd kernel),
+    which kills the lse round-trip and its thin-array HBM layout cost."""
     bh, n, dh = q.shape
     nq = n // block_q
     kernel = functools.partial(_fwd_kernel, sm_scale=sm_scale, n_valid=n_valid)
-    o, lse = pl.pallas_call(
+    o = pl.pallas_call(
         kernel,
-        grid=(bh, nq),
+        grid=(bh // hp, nq),
         in_specs=[
-            pl.BlockSpec((1, block_q, dh), lambda b, qi: (b, qi, 0)),
-            pl.BlockSpec((1, n, dh), lambda b, qi: (b, 0, 0)),  # resident
-            pl.BlockSpec((1, n, dh), lambda b, qi: (b, 0, 0)),
+            pl.BlockSpec((hp, block_q, dh), lambda b, qi: (b, qi, 0)),
+            pl.BlockSpec((hp, n, dh), lambda b, qi: (b, 0, 0)),  # resident
+            pl.BlockSpec((hp, n, dh), lambda b, qi: (b, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, block_q, dh), lambda b, qi: (b, qi, 0)),
-            pl.BlockSpec((1, 1, 1, block_q), lambda b, qi: (b, qi, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, n, dh), q.dtype),
-            jax.ShapeDtypeStruct((bh, nq, 1, block_q), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((hp, block_q, dh), lambda b, qi: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, n, dh), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -158,23 +173,24 @@ def _flash_fwd_impl(q, k, v, sm_scale: float, n_valid: int, block_q: int):
         ),
         interpret=INTERPRET,
     )(q, k, v)
-    return o, lse
+    return o
 
 
 # ---------------------------------------------------------------------------
-# Pallas backward: dq over q-blocks, dk/dv over k-blocks (K/Q resident)
+# Pallas backward: one fused q-block sweep emits dq and accumulates dk/dv
 # ---------------------------------------------------------------------------
 
 
 def _bwd_fused_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+    q_ref, k_ref, v_ref, do_ref, o_ref,
     dq_ref, dk_ref, dv_ref, dk_scr, dv_scr,
     *, sm_scale, n_valid, n_q_blocks,
 ):
     """One pass per q-block: emits the dq block and accumulates dk/dv in
     fp32 VMEM scratch across the sequential q sweep (dk/dv blocks are
-    revisited — index maps constant in qi). Halves the exp work and drops
-    two matmuls vs separate dq / dkv kernels."""
+    revisited — index maps constant in qi). Recomputes the softmax (max/sum
+    included — no lse residual) and di = rowsum(o * do) in VMEM; drops two
+    matmuls vs separate dq / dkv kernels."""
     qi = pl.program_id(1)
 
     @pl.when(qi == 0)
@@ -182,62 +198,68 @@ def _bwd_fused_kernel(
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0]  # (bq, dh)
-    k = k_ref[0]  # (n, dh)
-    v = v_ref[0]  # (n, dh)
-    do = do_ref[0]  # (bq, dh)
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    q = q_ref[...]   # (hp, bq, dh)
+    k = k_ref[...]   # (hp, n, dh)
+    v = v_ref[...]
+    do = do_ref[...]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (hp, bq, n)
     if sm_scale != 1.0:
         s = s * sm_scale
-    if n_valid < s.shape[1]:
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    if n_valid < s.shape[-1]:
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(col_ids < n_valid, s, MASK_VALUE)
-    p = jnp.exp(s - lse_ref[0, 0, 0][:, None])  # (bq, n)
+    m = jnp.max(s, axis=2, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=2, keepdims=True)  # == exp(s - lse) exactly
+    di = jnp.sum(
+        o_ref[...].astype(jnp.float32) * do.astype(jnp.float32), axis=2, keepdims=True
+    )  # (hp, bq, 1)
     dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (bq, n)
-    ds = p * (dp - di_ref[0, 0, 0][:, None]) * sm_scale
-    dq_ref[0] = jax.lax.dot(
-        ds.astype(k.dtype), k, preferred_element_type=jnp.float32
-    ).astype(dq_ref.dtype)
+        do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (hp, bq, n)
+    ds = p * (dp - di) * sm_scale
     dsb = ds.astype(q.dtype)
     pb = p.astype(do.dtype)
+    dq_ref[...] = jax.lax.dot_general(
+        dsb, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
     dk_scr[...] += jax.lax.dot_general(
-        dsb, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (n, dh)
+        dsb, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (hp, n, dh)
     dv_scr[...] += jax.lax.dot_general(
-        pb, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (n, dh)
+        pb, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
 
     @pl.when(qi == n_q_blocks - 1)
     def _store():
-        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
-        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+        dk_ref[...] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[...] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _flash_bwd_impl(q, k, v, o, lse, do, sm_scale, n_valid, block_q):
+def _flash_bwd_impl(q, k, v, o, do, sm_scale, n_valid, block_q_fwd):
     bh, n, dh = q.shape
+    hp = _pick_h_pack(bh, max_hp=2)
+    block_q = _pick_block_q(n, hp=hp, budget=_BWD_SCORE_BYTES)
     nq = n // block_q
-    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)  # (bh, n)
-    di_blocked = di.reshape(bh, nq, 1, block_q)
 
     dq, dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_fused_kernel, sm_scale=sm_scale, n_valid=n_valid, n_q_blocks=nq
         ),
-        grid=(bh, nq),
+        grid=(bh // hp, nq),
         in_specs=[
-            pl.BlockSpec((1, block_q, dh), lambda b, qi: (b, qi, 0)),  # q
-            pl.BlockSpec((1, n, dh), lambda b, qi: (b, 0, 0)),  # k resident
-            pl.BlockSpec((1, n, dh), lambda b, qi: (b, 0, 0)),  # v resident
-            pl.BlockSpec((1, block_q, dh), lambda b, qi: (b, qi, 0)),  # do
-            pl.BlockSpec((1, 1, 1, block_q), lambda b, qi: (b, qi, 0, 0)),  # lse
-            pl.BlockSpec((1, 1, 1, block_q), lambda b, qi: (b, qi, 0, 0)),  # di
+            pl.BlockSpec((hp, block_q, dh), lambda b, qi: (b, qi, 0)),  # q
+            pl.BlockSpec((hp, n, dh), lambda b, qi: (b, 0, 0)),  # k resident
+            pl.BlockSpec((hp, n, dh), lambda b, qi: (b, 0, 0)),  # v resident
+            pl.BlockSpec((hp, block_q, dh), lambda b, qi: (b, qi, 0)),  # do
+            pl.BlockSpec((hp, block_q, dh), lambda b, qi: (b, qi, 0)),  # o
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, dh), lambda b, qi: (b, qi, 0)),  # dq
-            pl.BlockSpec((1, n, dh), lambda b, qi: (b, 0, 0)),  # dk (revisited)
-            pl.BlockSpec((1, n, dh), lambda b, qi: (b, 0, 0)),  # dv (revisited)
+            pl.BlockSpec((hp, block_q, dh), lambda b, qi: (b, qi, 0)),  # dq
+            pl.BlockSpec((hp, n, dh), lambda b, qi: (b, 0, 0)),  # dk (revisited)
+            pl.BlockSpec((hp, n, dh), lambda b, qi: (b, 0, 0)),  # dv (revisited)
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, n, dh), q.dtype),
@@ -245,8 +267,8 @@ def _flash_bwd_impl(q, k, v, o, lse, do, sm_scale, n_valid, block_q):
             jax.ShapeDtypeStruct((bh, n, dh), q.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n, dh), jnp.float32),
-            pltpu.VMEM((n, dh), jnp.float32),
+            pltpu.VMEM((hp, n, dh), jnp.float32),
+            pltpu.VMEM((hp, n, dh), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -257,28 +279,286 @@ def _flash_bwd_impl(q, k, v, o, lse, do, sm_scale, n_valid, block_q):
             transcendentals=bh * n * n,
         ),
         interpret=INTERPRET,
-    )(q, k, v, do, lse, di_blocked)
+    )(q, k, v, do, o)
     return dq, dk, dv
+
+
+def _fwd_packing(bh: int, n: int, block_q: int) -> Tuple[int, int]:
+    """(hp, block_q) for the forward kernel; hp requires bh % hp == 0 and
+    the score block within budget."""
+    for hp in (3, 2, 1):
+        if bh % hp:
+            continue
+        if hp * block_q * n * 4 <= _FWD_SCORE_BYTES or hp == 1:
+            return hp, block_q
+    return 1, block_q
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _flash(q, k, v, sm_scale, n_valid, block_q):
-    o, _ = _flash_fwd_impl(q, k, v, sm_scale, n_valid, block_q)
-    return o
+    hp, bq = _fwd_packing(q.shape[0], q.shape[1], block_q)
+    return _flash_fwd_impl(q, k, v, sm_scale, n_valid, bq, hp)
 
 
 def _flash_vjp_fwd(q, k, v, sm_scale, n_valid, block_q):
-    o, lse = _flash_fwd_impl(q, k, v, sm_scale, n_valid, block_q)
-    return o, (q, k, v, o, lse)
+    hp, bq = _fwd_packing(q.shape[0], q.shape[1], block_q)
+    o = _flash_fwd_impl(q, k, v, sm_scale, n_valid, bq, hp)
+    return o, (q, k, v, o)
 
 
 def _flash_vjp_bwd(sm_scale, n_valid, block_q, res, do):
-    q, k, v, o, lse = res
-    dq, dk, dv = _flash_bwd_impl(q, k, v, o, lse, do, sm_scale, n_valid, block_q)
+    q, k, v, o = res
+    dq, dk, dv = _flash_bwd_impl(q, k, v, o, do, sm_scale, n_valid, block_q)
     return dq, dk, dv
 
 
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Lane-packed kernels: q/k/v stay (B, N, H*dh) — the projections' natural
+# output layout — and heads are static 64-lane slices inside the kernel.
+# This removes ALL XLA layout copies around the pallas calls (measured
+# 47.6 ms/step at flagship geometry: pallas operands must be default-layout,
+# so the (B,N,H,dh)->(B*H,N,dh) transposes materialized as %copy fusions).
+# Kernel speed matches the head-packed (B*H,N,dh) design (4.10 vs 4.07
+# ms/layer measured) — the in-kernel lane slices are register moves.
+# ---------------------------------------------------------------------------
+
+
+def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads, sm_scale, n_valid):
+    q = q_ref[0]  # (bq, H*dh)
+    k = k_ref[0]  # (n, H*dh)
+    v = v_ref[0]
+    dh = q.shape[-1] // num_heads
+    outs = []
+    for h in range(num_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, n)
+        if sm_scale != 1.0:
+            s = s * sm_scale
+        if n_valid < s.shape[-1]:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < n_valid, s, MASK_VALUE)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot(p.astype(v.dtype), v[:, sl], preferred_element_type=jnp.float32)
+        outs.append((o / l).astype(o_ref.dtype))
+    o_ref[0] = jnp.concatenate(outs, axis=1)
+
+
+def _packed_fwd_impl(q, k, v, num_heads, sm_scale, n_valid, block_q):
+    b, n, d = q.shape
+    nq = n // block_q
+    kernel = functools.partial(
+        _packed_fwd_kernel, num_heads=num_heads, sm_scale=sm_scale, n_valid=n_valid
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),
+            pl.BlockSpec((1, n, d), lambda b_, qi: (b_, 0, 0)),  # resident
+            pl.BlockSpec((1, n, d), lambda b_, qi: (b_, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * n * d,
+            bytes_accessed=b * n * d * 2 * 4,
+            transcendentals=b * n * n * num_heads,
+        ),
+        interpret=INTERPRET,
+    )(q, k, v)
+
+
+def _packed_bwd_kernel(
+    q_ref, k_ref, v_ref, do_ref, o_ref,
+    dq_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+    *, num_heads, sm_scale, n_valid, n_q_blocks,
+):
+    qi = pl.program_id(1)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]   # (bq, D)
+    k = k_ref[0]   # (n, D)
+    v = v_ref[0]
+    do = do_ref[0]
+    o = o_ref[0]
+    dh = q.shape[-1] // num_heads
+    dqs, dks, dvs = [], [], []
+    for h in range(num_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        qh, kh, vh, doh = q[:, sl], k[:, sl], v[:, sl], do[:, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if sm_scale != 1.0:
+            s = s * sm_scale
+        if n_valid < s.shape[-1]:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < n_valid, s, MASK_VALUE)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)  # == exp(s - lse)
+        di = jnp.sum(
+            o[:, sl].astype(jnp.float32) * doh.astype(jnp.float32), axis=1, keepdims=True
+        )
+        dp = jax.lax.dot_general(
+            doh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - di) * sm_scale
+        dsb = ds.astype(kh.dtype)
+        pb = p.astype(doh.dtype)
+        dqs.append(
+            jax.lax.dot(dsb, kh, preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        )
+        dks.append(jax.lax.dot_general(
+            dsb, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ))
+        dvs.append(jax.lax.dot_general(
+            pb, doh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ))
+    dq_ref[0] = jnp.concatenate(dqs, axis=1)
+    dk_scr[...] += jnp.concatenate(dks, axis=1)
+    dv_scr[...] += jnp.concatenate(dvs, axis=1)
+
+    @pl.when(qi == n_q_blocks - 1)
+    def _store():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _packed_bwd_impl(q, k, v, o, do, num_heads, sm_scale, n_valid):
+    b, n, d = q.shape
+    # measured: bwd bq 208 (156.4 ms/12 fwd+bwd) beats 416 (159.9) and
+    # 104 (184) at N=1664 once vmem_limit_bytes unblocks the compile
+    block_q = _pick_block_q(n, hp=2, budget=_BWD_SCORE_BYTES)
+    nq = n // block_q
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _packed_bwd_kernel, num_heads=num_heads, sm_scale=sm_scale,
+            n_valid=n_valid, n_q_blocks=nq,
+        ),
+        grid=(b, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),  # q
+            pl.BlockSpec((1, n, d), lambda b_, qi: (b_, 0, 0)),  # k resident
+            pl.BlockSpec((1, n, d), lambda b_, qi: (b_, 0, 0)),  # v resident
+            pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),  # do
+            pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),  # o
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),  # dq
+            pl.BlockSpec((1, n, d), lambda b_, qi: (b_, 0, 0)),  # dk (revisited)
+            pl.BlockSpec((1, n, d), lambda b_, qi: (b_, 0, 0)),  # dv (revisited)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, d), q.dtype),
+            jax.ShapeDtypeStruct((b, n, d), q.dtype),
+            jax.ShapeDtypeStruct((b, n, d), q.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, d), jnp.float32),
+            pltpu.VMEM((n, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            # the full-width f32 scratch + per-head temps overflow the 16 MB
+            # scoped-vmem default in some surrounding-program contexts; the
+            # physical VMEM is larger — raise the cap for this kernel
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * n * n * d,
+            bytes_accessed=b * n * d * 2 * 6,
+            transcendentals=b * n * n * num_heads,
+        ),
+        interpret=INTERPRET,
+    )(q, k, v, do, o)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_packed(q, k, v, num_heads, sm_scale, n_valid, block_q):
+    return _packed_fwd_impl(q, k, v, num_heads, sm_scale, n_valid, block_q)
+
+
+def _flash_packed_vjp_fwd(q, k, v, num_heads, sm_scale, n_valid, block_q):
+    o = _packed_fwd_impl(q, k, v, num_heads, sm_scale, n_valid, block_q)
+    return o, (q, k, v, o)
+
+
+def _flash_packed_vjp_bwd(num_heads, sm_scale, n_valid, block_q, res, do):
+    q, k, v, o = res
+    return _packed_bwd_impl(q, k, v, o, do, num_heads, sm_scale, n_valid)
+
+
+_flash_packed.defvjp(_flash_packed_vjp_fwd, _flash_packed_vjp_bwd)
+
+
+def flash_attention_packed(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    sm_scale: Optional[float] = None,
+    valid_len: Optional[int] = None,
+) -> jax.Array:
+    """Flash attention over lane-packed (B, N, H*dh) q/k/v; returns the same
+    layout — zero layout copies on either side. Pads N to a block multiple
+    (already a no-op when the model pads via :func:`preferred_pad`)."""
+    b, n, d = q.shape
+    dh = d // num_heads
+    if sm_scale is None:
+        sm_scale = dh**-0.5
+    n_valid = n if valid_len is None else int(valid_len)
+    # measured sweep at N=1664 (vmem_limit raised): fwd bq 416 (47.4 ms/12)
+    # beats 208 (49.2); bwd picks its own (208 beats 416 there)
+    block_q = _pick_block_q(n, hp=2, budget=_FWD_SCORE_BYTES)
+    n_pad = _cdiv(n, block_q) * block_q
+    if n_pad != n:
+        pad = ((0, 0), (0, n_pad - n), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    o = _flash_packed(q, k, v, num_heads, float(sm_scale), n_valid, block_q)
+    return o[:, :n]
+
+
+def multi_head_attention_packed(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    sm_scale: Optional[float] = None,
+    impl: str = "auto",
+    valid_len: Optional[int] = None,
+) -> jax.Array:
+    """(B, N, H*dh) dispatch — Pallas lane-packed kernel or XLA fallback."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() not in ("cpu",) and pltpu is not None else "xla"
+    if impl == "pallas" and q.shape[1] <= MAX_SINGLE_PASS_N:
+        return flash_attention_packed(q, k, v, num_heads, sm_scale, valid_len)
+    b, n, d = q.shape
+    dh = d // num_heads
+    if sm_scale is None:
+        sm_scale = dh**-0.5
+    qh = q.reshape(b, n, num_heads, dh).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, n, num_heads, dh).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, n, num_heads, dh).transpose(0, 2, 1, 3)
+    o = xla_attention(qh, kh, vh, sm_scale, valid_len=valid_len)
+    return o.transpose(0, 2, 1, 3).reshape(b, n, d)
 
 
 def flash_attention_bnhd(
@@ -291,9 +571,11 @@ def flash_attention_bnhd(
 ) -> jax.Array:
     """Flash attention over (B, N, H, Dh); pads N to a block multiple.
 
-    Internally transposes to the (B*H, N, dh) layout Mosaic tiles best
-    (a BNHD-native kernel hit "unsupported shape cast" relayouts — see git
-    history); ``valid_len`` masks key positions >= valid_len.
+    Internally transposes to the (B*H, N, dh) layout Mosaic tiles best (a
+    BNHD-native kernel hit "unsupported shape cast" relayouts). Measured on
+    the v5e: inside a full jit these transposes cost ~0.2 ms/layer — XLA
+    folds them into neighbouring op layouts; ``valid_len`` masks key
+    positions >= valid_len.
     """
     b, n, h, dh = q.shape
     if sm_scale is None:

@@ -19,11 +19,11 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # column-parallel: shard output features (last dim)
-_COL_PATTERNS = (r"/qkv/kernel$", r"/fc1/kernel$", r"/wq1/kernel$", r"/to_qkv/kernel$")
+_COL_PATTERNS = (r"/qkv/kernel$", r"/w[qkv]/kernel$", r"/fc1/kernel$", r"/wq1/kernel$", r"/to_qkv/kernel$")
 # row-parallel: shard input features (first dim)
 _ROW_PATTERNS = (r"/proj/kernel$", r"/fc2/kernel$", r"/wq2/kernel$", r"/to_out/kernel$")
 # biases of column-parallel layers shard with the outputs
-_COL_BIAS_PATTERNS = (r"/qkv/bias$", r"/fc1/bias$")
+_COL_BIAS_PATTERNS = (r"/qkv/bias$", r"/w[qkv]/bias$", r"/fc1/bias$")
 
 
 def _path_str(path) -> str:

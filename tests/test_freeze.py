@@ -13,7 +13,7 @@ def _params():
         "backbone": {
             "channel_embed": jnp.ones((8, 16)),
             "proj_kernel": jnp.ones((64, 16)),
-            "block_0": {"attn": {"qkv": {"kernel": jnp.ones((16, 48))}}},
+            "block_0": {"attn": {"wq": {"kernel": jnp.ones((16, 16))}}},
             "block_1": {"mlp": {"fc1": {"kernel": jnp.ones((16, 64))}}},
             "norm": {"scale": jnp.ones((16,))},
         },
@@ -26,14 +26,14 @@ def test_freeze_other_trains_interface_and_head_only():
     labels = build_trainable_labels(p, freeze_other=True)
     assert labels["backbone"]["channel_embed"] == "train"
     assert labels["backbone"]["proj_kernel"] == "train"
-    assert labels["backbone"]["block_0"]["attn"]["qkv"]["kernel"] == "freeze"
+    assert labels["backbone"]["block_0"]["attn"]["wq"]["kernel"] == "freeze"
     assert labels["proxies"] == "train"
 
 
 def test_unfreeze_last_n_layers():
     p = _params()
     labels = build_trainable_labels(p, unfreeze_last_n_layers=1)
-    assert labels["backbone"]["block_0"]["attn"]["qkv"]["kernel"] == "freeze"
+    assert labels["backbone"]["block_0"]["attn"]["wq"]["kernel"] == "freeze"
     assert labels["backbone"]["block_1"]["mlp"]["fc1"]["kernel"] == "train"
     assert labels["backbone"]["norm"]["scale"] == "train"
     assert labels["backbone"]["channel_embed"] == "train"  # unfreeze_first_layer default
@@ -48,8 +48,42 @@ def test_masked_optimizer_zeroes_frozen_updates():
     g = jax.tree_util.tree_map(jnp.ones_like, p)
     state = tx.init(p)
     upd, _ = tx.update(g, state, p)
-    assert np.all(np.asarray(upd["backbone"]["block_0"]["attn"]["qkv"]["kernel"]) == 0)
+    assert np.all(np.asarray(upd["backbone"]["block_0"]["attn"]["wq"]["kernel"]) == 0)
     assert np.all(np.asarray(upd["backbone"]["channel_embed"]) != 0)
+
+
+def _scanned_params():
+    # model.scan_blocks=True layout: stacked (depth, ...) leaves
+    return {
+        "backbone": {
+            "channel_embed": jnp.ones((8, 16)),
+            "blocks": {"block": {"attn": {"wq": {"kernel": jnp.ones((4, 16, 16))}}}},
+            "norm": {"scale": jnp.ones((16,))},
+        },
+        "proxies": jnp.ones((4, 16)),
+    }
+
+
+def test_unfreeze_last_n_scanned_layout():
+    p = _scanned_params()
+    labels = build_trainable_labels(p, unfreeze_last_n_layers=1)
+    assert labels["backbone"]["blocks"]["block"]["attn"]["wq"]["kernel"] == "train_stack"
+    tx = masked_optimizer(optax.sgd(1.0), labels, unfreeze_last_n_layers=1)
+    g = jax.tree_util.tree_map(jnp.ones_like, p)
+    upd, _ = tx.update(g, tx.init(p), p)
+    stack = np.asarray(upd["backbone"]["blocks"]["block"]["attn"]["wq"]["kernel"])
+    assert np.all(stack[:3] == 0) and np.all(stack[3] != 0)  # only the last layer moves
+    # n=0: the whole stack freezes
+    labels0 = build_trainable_labels(p, unfreeze_last_n_layers=0)
+    assert labels0["backbone"]["blocks"]["block"]["attn"]["wq"]["kernel"] == "freeze"
+
+
+def test_unfreeze_last_n_without_blocks_raises():
+    import pytest
+
+    p = {"backbone": {"channel_embed": jnp.ones((8, 16))}, "proxies": jnp.ones((4, 16))}
+    with pytest.raises(ValueError, match="no transformer blocks"):
+        build_trainable_labels(p, unfreeze_last_n_layers=2)
 
 
 def test_all_trainable_passthrough():
