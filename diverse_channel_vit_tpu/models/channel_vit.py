@@ -32,19 +32,56 @@ from .vit import Block
 Dtype = Any
 
 
-def interpolate_pos_embed(pos_embed: jax.Array, h0: int, w0: int) -> jax.Array:
+def _torch_bicubic_1d(size_in: int, size_out: int, scale: float):
+    """Index/weight tables replicating torch's F.interpolate bicubic
+    (align_corners=False, a=-0.75, border-replicate) for one axis with an
+    explicit ``scale_factor`` — including the reference's +0.1 kludge
+    (``dichavit.py:534-541``). Static (numpy) — runs at trace time."""
+    import numpy as np
+
+    a = -0.75
+    x = (np.arange(size_out) + 0.5) / scale - 0.5
+    ix = np.floor(x).astype(np.int64)
+    t = (x - ix)[:, None]  # (out, 1)
+    d = np.abs(t - np.array([-1.0, 0.0, 1.0, 2.0])[None, :])  # (out, 4)
+    w = np.where(
+        d <= 1.0,
+        (a + 2) * d**3 - (a + 3) * d**2 + 1.0,
+        np.where(d < 2.0, a * d**3 - 5 * a * d**2 + 8 * a * d - 4 * a, 0.0),
+    )
+    idx = np.clip(ix[:, None] + np.array([-1, 0, 1, 2])[None, :], 0, size_in - 1)
+    return jnp.asarray(idx), jnp.asarray(w, jnp.float32)
+
+
+def interpolate_pos_embed(
+    pos_embed: jax.Array, h0: int, w0: int, num_channels: int = 1
+) -> jax.Array:
     """Bicubic-resize the (1, N+1, D) positional table to an (h0, w0) grid.
 
-    Reference: ``interpolate_pos_encoding`` (``dichavit.py:518-552``).
+    Bit-matches the reference's ``interpolate_pos_encoding``
+    (``dichavit.py:518-552``): torch bicubic (a=-0.75, half-pixel centers)
+    at ``scale_factor=(h0+0.1)/sqrt(N)`` — the DINO +0.1 float-guard rides
+    in the scale. (The reference passes its scale factors as (w0, h0) for an
+    (H, W) tensor; every recipe is square so the swap is unobservable.)
+
+    Quirk reproduced: the reference's skip condition is
+    ``npatch == N and w == h`` with ``npatch = C * h0 * w0`` — so for C > 1
+    it resamples even at the native grid, and the +0.1-scaled resample is
+    NOT the identity. ``num_channels`` feeds that condition.
     """
     n = pos_embed.shape[1] - 1
-    if h0 * w0 == n:
+    if num_channels * h0 * w0 == n and h0 == w0:
         return pos_embed
     dim = pos_embed.shape[-1]
     side = int(math.sqrt(n))
-    grid = pos_embed[:, 1:].reshape(1, side, side, dim)
-    grid = jax.image.resize(grid, (1, h0, w0, dim), method="bicubic")
-    return jnp.concatenate([pos_embed[:, :1], grid.reshape(1, h0 * w0, dim)], axis=1)
+    grid = pos_embed[:, 1:].reshape(side, side, dim).astype(jnp.float32)
+    idx_h, w_h = _torch_bicubic_1d(side, h0, (h0 + 0.1) / side)
+    idx_w, w_w = _torch_bicubic_1d(side, w0, (w0 + 0.1) / side)
+    # separable: rows then cols (torch's upsample_bicubic2d order)
+    rows = jnp.einsum("otsd,ot->osd", jnp.take(grid, idx_h, axis=0), w_h)  # (h0, side, D)
+    out = jnp.einsum("hotd,ot->hod", jnp.take(rows, idx_w, axis=1), w_w)  # (h0, w0, D)
+    out = out.reshape(1, h0 * w0, dim).astype(pos_embed.dtype)
+    return jnp.concatenate([pos_embed[:, :1], out], axis=1)
 
 
 class ChannelVisionTransformer(nn.Module):
@@ -159,7 +196,7 @@ class ChannelVisionTransformer(nn.Module):
             trunc_normal_init(std=0.02),
             (1, (self.img_size // p) ** 2 + 1, self.embed_dim),
         )
-        pos = interpolate_pos_embed(pos_embed, h // p, w // p).astype(self.dtype)
+        pos = interpolate_pos_embed(pos_embed, h // p, w // p, num_channels=c).astype(self.dtype)
         # per-channel replication of the positional table (dichavit.py:549-552)
         tokens = tokens + jnp.tile(pos[:, 1:], (1, c, 1))
         cls = jnp.broadcast_to(cls_token.astype(self.dtype) + pos[:, :1], (b, 1, self.embed_dim))
@@ -179,11 +216,18 @@ class ChannelVisionTransformer(nn.Module):
             else:
                 raise ValueError(f"Unknown dropout_tokens_hcs: {self.dropout_tokens_hcs}")
 
+        # EViT token reorganization (reference Attention_EVIT, vit.py:291-343,
+        # never consumed there; wired here at the EViT paper's prune layers
+        # depth/4, depth/2, 3*depth/4 — {3, 6, 9} at depth 12)
+        evit_on = self.keep_rate is not None and float(self.keep_rate) < 1.0
+        evit_layers = {self.depth // 4, self.depth // 2, (3 * self.depth) // 4} if evit_on else set()
+
         # pad the token grid ONCE to the flash kernel's preferred multiple so
         # no layer re-pads q/k/v; padded key positions are masked via
         # valid_len and the CLS readout never touches padded query rows.
+        # (skipped under EViT: its dense attention has no key masking)
         valid_len = None
-        if self.block_type == "block":
+        if self.block_type == "block" and not evit_on:
             from ..ops.attention import preferred_pad
 
             n_tok = xseq.shape[1]
@@ -193,7 +237,7 @@ class ChannelVisionTransformer(nn.Module):
                 xseq = jnp.pad(xseq, ((0, 0), (0, n_padded - n_tok), (0, 0)))
                 valid_len = n_tok
 
-        if self.scan_blocks and self.block_type == "block":
+        if self.scan_blocks and self.block_type == "block" and not evit_on:
             from .vit import BlockStack
 
             xseq = BlockStack(
@@ -235,6 +279,20 @@ class ChannelVisionTransformer(nn.Module):
                     keep_tokens=max(1, (cur_n * kc) // c),
                     keep_channels=kc if i == 0 else None,
                     nc=c,
+                    dtype=self.dtype,
+                    name=f"block_{i}",
+                )(xseq, train=train)
+                continue
+            if i in evit_layers:
+                from .vit import BlockEViT
+
+                xseq = BlockEViT(
+                    num_heads=self.num_heads,
+                    keep_rate=float(self.keep_rate),
+                    mlp_ratio=self.mlp_ratio,
+                    qkv_bias=self.qkv_bias,
+                    drop=self.drop_rate,
+                    drop_path=dpr[i],
                     dtype=self.dtype,
                     name=f"block_{i}",
                 )(xseq, train=train)

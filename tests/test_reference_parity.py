@@ -1,0 +1,225 @@
+"""Golden cross-framework parity tests against /root/reference (torch CPU).
+
+Fixed inputs + transplanted weights through the reference's own modules:
+- ``models/loss_fn.py`` proxy loss and TDL (``ortho_proj_loss_fn_v2``)
+- ``models/channel_vit.py`` ChannelVisionTransformer forward (xFormers off)
+- ``datasets/tps_transform.py`` warp field + warped image
+- the DINO +0.1 positional-embedding resample (torch bicubic oracle)
+
+The reference imports timm/torchvision at package level; neither is in the
+env, so stub modules satisfy the imports and the reference packages are
+registered without executing ``models/__init__`` (which pulls timm).
+Everything skips gracefully when torch or the reference tree is absent.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree absent")
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    """Import reference modules without running models/__init__ (timm)."""
+    import importlib
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    for stub_name, attrs in (
+        ("timm", {"create_model": lambda *a, **k: None}),
+        ("timm.models", {"ConvNeXt": type("ConvNeXt", (), {})}),
+        ("torchvision", {"datasets": types.SimpleNamespace(),
+                         "utils": types.SimpleNamespace()}),
+        ("torchvision.transforms", {"transforms": types.SimpleNamespace()}),
+    ):
+        if stub_name not in sys.modules:
+            mod = types.ModuleType(stub_name)
+            for k, v in attrs.items():
+                setattr(mod, k, v)
+            sys.modules[stub_name] = mod
+    # register the packages with a __path__ but WITHOUT running __init__
+    for pkg in ("models", "datasets"):
+        if pkg not in sys.modules:
+            mod = types.ModuleType(pkg)
+            mod.__path__ = [os.path.join(REF, pkg)]
+            sys.modules[pkg] = mod
+    loss_fn = importlib.import_module("models.loss_fn")
+    channel_vit = importlib.import_module("models.channel_vit")
+    tps = importlib.import_module("datasets.tps_transform")
+    return loss_fn, channel_vit, tps
+
+
+def test_proxy_loss_matches_reference(ref_modules):
+    loss_fn, _, _ = ref_modules
+    from diverse_channel_vit_tpu.ops.losses import proxy_loss
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    proxies = rng.normal(size=(7, 16)).astype(np.float32)
+    emb = rng.normal(size=(12, 16)).astype(np.float32)
+    labels = rng.integers(0, 7, size=(12,))
+    scale = 3.0
+    ref = float(loss_fn.proxy_loss(
+        torch.from_numpy(proxies), torch.from_numpy(emb),
+        torch.from_numpy(labels), scale,
+    ))
+    ours = float(proxy_loss(jnp.asarray(proxies), jnp.asarray(emb),
+                            jnp.asarray(labels), scale))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+@pytest.mark.parametrize("reverse_pos_pairs", [False, True])
+@pytest.mark.parametrize("use_square", [False, True])
+def test_tdl_matches_reference(ref_modules, reverse_pos_pairs, use_square):
+    """Our O(N·D) TDL identity vs the reference's dense O(N^2) Gram form."""
+    loss_fn, _, _ = ref_modules
+    import jax.numpy as jnp
+
+    from diverse_channel_vit_tpu.ops.losses import orthogonal_projection_loss
+
+    rng = np.random.default_rng(1)
+    b, c, n, d = 3, 4, 5, 8
+    feats = rng.normal(size=(b, c, n, d)).astype(np.float32)
+    labels = np.repeat(np.arange(c), n)
+    ref = float(loss_fn.ortho_proj_loss_fn_v2(
+        torch.from_numpy(feats.reshape(b, c * n, d)),
+        torch.from_numpy(labels),
+        gamma_s=0.5, gamma_d=2.0,
+        reverse_pos_pairs=reverse_pos_pairs, use_square=use_square,
+    ))
+    ours = float(orthogonal_projection_loss(
+        jnp.asarray(feats), gamma_s=0.5, gamma_d=2.0,
+        reverse_pos_pairs=reverse_pos_pairs, use_square=use_square,
+    ))
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=1e-6)
+
+
+def _transplant(ref_model, depth):
+    """Reference ChannelViT state_dict -> our flax param tree."""
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    p = sd["patch_embed.proj.weight"]  # (D, 1, 1, p, p)
+    d_model = p.shape[0]
+    params = {
+        "proj_kernel": p.reshape(d_model, -1).T,  # (p*p, D), row-major pixels
+        "proj_bias": sd["patch_embed.proj.bias"],
+        "channel_embed": sd["patch_embed.channel_embed.weight"],
+        "cls_token": sd["cls_token"],
+        "pos_embed": sd["pos_embed"],
+        "norm": {"scale": sd["norm.weight"], "bias": sd["norm.bias"]},
+    }
+    for i in range(depth):
+        r = f"blocks.{i}."
+        # the reference fuses qkv in one Linear; our Attention keeps three
+        # projections (wq/wk/wv) so the lane-packed kernel sees each GEMM's
+        # natural layout — split the fused weight rows [q | k | v]
+        w_qkv = sd[r + "attn.qkv.weight"]  # (3D, D)
+        b_qkv = sd[r + "attn.qkv.bias"]
+        params[f"block_{i}"] = {
+            "norm1": {"scale": sd[r + "norm1.weight"], "bias": sd[r + "norm1.bias"]},
+            "norm2": {"scale": sd[r + "norm2.weight"], "bias": sd[r + "norm2.bias"]},
+            "attn": {
+                "wq": {"kernel": w_qkv[:d_model].T, "bias": b_qkv[:d_model]},
+                "wk": {"kernel": w_qkv[d_model:2 * d_model].T,
+                       "bias": b_qkv[d_model:2 * d_model]},
+                "wv": {"kernel": w_qkv[2 * d_model:].T, "bias": b_qkv[2 * d_model:]},
+                "proj": {"kernel": sd[r + "attn.proj.weight"].T,
+                         "bias": sd[r + "attn.proj.bias"]},
+            },
+            "mlp": {
+                "fc1": {"kernel": sd[r + "mlp.fc1.weight"].T, "bias": sd[r + "mlp.fc1.bias"]},
+                "fc2": {"kernel": sd[r + "mlp.fc2.weight"].T, "bias": sd[r + "mlp.fc2.bias"]},
+            },
+        }
+    import jax.numpy as jnp
+    import jax
+
+    return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+@pytest.mark.parametrize("img", [32, 48])
+def test_channelvit_forward_matches_reference(ref_modules, img):
+    """Transplanted weights + fixed input through both full forwards
+    (reference ``channel_vit.py:139-302`` with xFormers off). img=48 also
+    exercises the +0.1 bicubic pos-embed resample at a non-native size
+    (the model is built at img_size=32)."""
+    _, ref_cv, _ = ref_modules
+    import jax.numpy as jnp
+
+    from diverse_channel_vit_tpu.models.channel_vit import ChannelVisionTransformer
+
+    from functools import partial
+
+    c, depth, d_model, heads, patch = 3, 2, 64, 2, 16
+    torch.manual_seed(0)
+    ref_model = ref_cv.ChannelVisionTransformer(
+        img_size=[32], patch_size=patch, in_chans=c, mapper={"train": [0, 1, 2]},
+        embed_dim=d_model, depth=depth, num_heads=heads, qkv_bias=True,
+        enable_sample=False,
+        norm_layer=partial(torch.nn.LayerNorm, eps=1e-6),  # as the factories
+    ).eval()
+
+    ours = ChannelVisionTransformer(
+        num_total_channels=c, img_size=32, patch_size=patch, embed_dim=d_model,
+        depth=depth, num_heads=heads, attention_impl="xla",
+    )
+    params = _transplant(ref_model, depth)
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, c, img, img)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(x), "train").numpy()
+    out, _ = ours.apply({"params": params}, jnp.asarray(x), jnp.arange(c), train=False)
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-4, rtol=1e-3)
+
+
+def test_pos_embed_resample_matches_torch_bicubic():
+    """The +0.1-scaled bicubic (a=-0.75, half-pixel) resample bit-matches
+    torch F.interpolate — including the C>1 native-size non-identity quirk
+    (``dichavit.py:534-541``)."""
+    import jax.numpy as jnp
+
+    from diverse_channel_vit_tpu.models.channel_vit import interpolate_pos_embed
+
+    rng = np.random.default_rng(3)
+    side, dim = 14, 8
+    pe = rng.normal(size=(1, side * side + 1, dim)).astype(np.float32)
+    for h0 in (7, 14, 28):
+        ours = np.asarray(interpolate_pos_embed(jnp.asarray(pe), h0, h0, num_channels=2))
+        grid = torch.from_numpy(pe[0, 1:].reshape(1, side, side, dim)).permute(0, 3, 1, 2)
+        t = torch.nn.functional.interpolate(
+            grid, scale_factor=((h0 + 0.1) / side, (h0 + 0.1) / side), mode="bicubic"
+        ).permute(0, 2, 3, 1).reshape(-1, dim).numpy()
+        np.testing.assert_allclose(ours[0, 1:], t, atol=1e-5)
+    # C == 1 at the native square grid skips the resample (reference skip)
+    same = np.asarray(interpolate_pos_embed(jnp.asarray(pe), side, side, num_channels=1))
+    np.testing.assert_array_equal(same, pe)
+
+
+def test_tps_warp_matches_reference(ref_modules):
+    _, _, ref_tps = ref_modules
+    from diverse_channel_vit_tpu.data import tps as our_tps
+
+    rng = np.random.default_rng(4)
+    h = w = 40
+    img = rng.normal(size=(h, w)).astype(np.float64)
+    src = np.array([[0, 0], [0, w], [h, 0], [h, w], [12, 20], [30, 9]], float)
+    dst = src + np.concatenate([np.zeros((4, 2)), rng.uniform(-3, 3, (2, 2))])
+
+    wx_ref, wy_ref = ref_tps._make_inverse_warp(src, dst, (0, 0, h - 1, w - 1), 10)
+    wx, wy = our_tps._make_inverse_warp(src, dst, (0, 0, h - 1, w - 1), 10)
+    np.testing.assert_allclose(wx, wx_ref, atol=1e-8)
+    np.testing.assert_allclose(wy, wy_ref, atol=1e-8)
+
+    ref_imgs = ref_tps.warp_images(src, dst, [img], (0, 0, h - 1, w - 1))
+    from scipy import ndimage
+
+    ours_img = ndimage.map_coordinates(img, np.stack([wx, wy]), order=1, mode="reflect")
+    np.testing.assert_allclose(ours_img, ref_imgs[0], atol=1e-8)

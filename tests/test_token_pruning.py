@@ -100,3 +100,28 @@ def test_backbone_block_v2_pruning():
         g = jax.grad(lambda p: jnp.sum(m.apply({"params": p}, x, cids, train=True,
                                                rngs={"dropout": jax.random.key(4)})[0] ** 2))(params)
         assert all(np.all(np.isfinite(np.asarray(l))) for l in jax.tree_util.tree_leaves(g))
+
+
+def test_backbone_evit_keep_rate():
+    # keep_rate wired through BlockEViT at layers {depth//4, depth//2,
+    # 3*depth//4} — with depth=2 that's layers {0, 1}
+    m = _backbone(keep_rate=0.5)
+    x = jax.random.normal(jax.random.key(0), (2, 6, 16, 16))
+    cids = jnp.arange(6)
+    params = m.init({"params": jax.random.key(1), "dropout": jax.random.key(2)},
+                    x, cids, train=False)["params"]
+    # EViT blocks inline their attention (attn_qkv), plain blocks nest it
+    assert "attn_qkv" in params["block_0"]
+    out, _ = m.apply({"params": params}, x, cids, train=True,
+                     rngs={"dropout": jax.random.key(3)})
+    assert out.shape == (2, 32)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # pruning applies at eval too (architectural, not a regularizer)
+    out_eval, _ = m.apply({"params": params}, x, cids, train=False)
+    assert np.all(np.isfinite(np.asarray(out_eval)))
+    # gradients flow through the top-k gather
+    g = jax.grad(lambda p: jnp.sum(m.apply({"params": p}, x, cids, train=True,
+                                           rngs={"dropout": jax.random.key(4)})[0]))(params)
+    gn = float(jnp.sqrt(sum(jnp.sum(l.astype(jnp.float32) ** 2)
+                            for l in jax.tree_util.tree_leaves(g))))
+    assert np.isfinite(gn) and gn > 0
