@@ -22,6 +22,7 @@ Replaces the reference's DataLoader orchestration
 from __future__ import annotations
 
 import concurrent.futures as cf
+import zlib
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -188,12 +189,15 @@ class MixedChunkLoader:
         largest = max(quotas, key=lambda k: quotas[k])
         quotas[largest] += drift
         self.quotas = quotas
+        # deterministic per-chunk seed: builtin str hash is randomized per
+        # process (PYTHONHASHSEED), which would shuffle differently across
+        # runs AND across hosts (breaking the strided host shards)
         self.loaders = {
             k: BatchLoader(
                 d,
                 batch_size=quotas[k],
                 shuffle=True,
-                seed=seed + hash(k) % 10000,
+                seed=seed + zlib.crc32(k.encode()) % 10000,
                 drop_last=True,
                 num_hosts=num_hosts,
                 host_id=host_id,
@@ -313,6 +317,8 @@ def get_train_val_test_loaders(
     *,
     num_hosts: int = 1,
     host_id: int = 0,
+    eval_num_hosts: Optional[int] = None,
+    eval_host_id: Optional[int] = None,
     tps_prob: float = 0.0,
 ) -> Tuple[Optional[BatchLoader], Optional[BatchLoader], object]:
     """Build (train, val, test) loaders for one chunk.
@@ -320,7 +326,18 @@ def get_train_val_test_loaders(
     ``test`` is a dict of loaders when the chunk declares several test
     channel subsets (so2sat test_1/test_2/test_full — the channel-robustness
     splits the reference evaluates in ``eval_regular``).
+
+    ``eval_num_hosts``/``eval_host_id`` override the host sharding for the
+    val/test loaders (default: same as train). CHAMMI feature extraction
+    passes ``eval_num_hosts=1`` so every host sees the full test set and
+    ``features.npy`` stays row-aligned with ``enriched_meta.csv`` — the role
+    torchmetrics' cross-rank allreduce plays for the reference
+    (``trainer.py:437-449``).
     """
+    if eval_num_hosts is None:
+        eval_num_hosts = num_hosts
+    if eval_host_id is None:
+        eval_host_id = host_id
     name = cfg.dataset.name
     # annotate the dataset cfg with train-side flags the dataset ctor needs
     try:
@@ -357,8 +374,8 @@ def get_train_val_test_loaders(
             seed=seed + {"train": 24122022, "valid": 21022024, "test": 21022025}.get(split.split("_")[0], 0),
             drop_last=drop_last,
             pad_last=pad_last,
-            num_hosts=num_hosts,
-            host_id=host_id,
+            num_hosts=num_hosts if is_train else eval_num_hosts,
+            host_id=host_id if is_train else eval_host_id,
             num_workers=nw,
         )
 

@@ -162,8 +162,13 @@ def flip_rotate_one_of(rng: np.random.Generator, img: np.ndarray, p: float = 0.5
 # ---------------------------------------------------------------------------
 
 
-def defocus(rng: np.random.Generator, img: np.ndarray, radius_range=(1, 3)) -> np.ndarray:
-    """Albumentations Defocus: convolve with a disc kernel of random radius."""
+def defocus(
+    rng: np.random.Generator, img: np.ndarray, radius_range=(1, 3), p: float = 0.5
+) -> np.ndarray:
+    """Albumentations Defocus: convolve with a disc kernel of random radius,
+    applied with probability ``p`` (A.Defocus's default 0.5)."""
+    if rng.random() > p:
+        return img
     r = int(rng.integers(radius_range[0], radius_range[1] + 1))
     if r <= 0:
         return img
@@ -190,8 +195,12 @@ def coarse_dropout(
     hole_h: int = 10,
     hole_w: int = 10,
     fill: float = 0.0,
+    p: float = 0.5,
 ) -> np.ndarray:
-    """Albumentations CoarseDropout (``jump_cp_transforms.py:124-130``)."""
+    """Albumentations CoarseDropout (``jump_cp_transforms.py:124-130``),
+    applied with its default per-sample probability 0.5."""
+    if rng.random() > p:
+        return img
     img = img.copy()
     c, h, w = img.shape
     # albumentations default min_holes=None -> always max_holes holes
@@ -200,6 +209,49 @@ def coarse_dropout(
         x = int(rng.integers(0, max(1, w - hole_w)))
         img[:, y : y + hole_h, x : x + hole_w] = fill
     return img
+
+
+_CIFAR_CHANNEL_MAP = {"red": 0, "green": 1, "blue": 2}
+
+
+def get_channel(dataset: str, data_channels, x: np.ndarray) -> np.ndarray:
+    """Synthetic-channel expansion (``dataset_utils.py:316-360``).
+
+    cifar10/100 recompose RGB batches into arbitrary channel lists; the
+    microscopy datasets pass through. The transform itself is pure code —
+    usable on any 3-channel data even though cifar download is env-blocked.
+    """
+    if dataset in ("cifar10", "cifar100"):
+        return _get_channel_cifar(data_channels, x)
+    if dataset in ("Allen", "CP", "HPA", "morphem70k"):
+        return x
+    raise NotImplementedError(f"get_channel: dataset {dataset!r}")
+
+
+def _get_channel_cifar(data_channels, x: np.ndarray) -> np.ndarray:
+    """x: (B, 3, H, W) RGB. Each entry of ``data_channels`` is "red" /
+    "green" / "blue", "avg_<c1>_<c2>..." (channel mean), or "zero"
+    (``dataset_utils.py:325-360``)."""
+    assert len(data_channels) <= 3
+    if sorted(data_channels) == sorted(_CIFAR_CHANNEL_MAP):
+        return x
+    b, c, h, w = x.shape
+    out = []
+    for channel in data_channels:
+        if channel in _CIFAR_CHANNEL_MAP:
+            ci = _CIFAR_CHANNEL_MAP[channel]
+            out.append(x[:, ci : ci + 1])
+            continue
+        splits = channel.split("_")
+        reduce, channel_list = splits[0].lower(), splits[1:]
+        if reduce == "avg":
+            idx = [_CIFAR_CHANNEL_MAP[cn] for cn in channel_list]
+            out.append(x[:, idx].mean(axis=1, keepdims=True))
+        elif reduce == "zero":
+            out.append(np.zeros((b, 1, h, w), x.dtype))
+        else:
+            raise ValueError(f"unknown channel spec {channel!r}")
+    return np.concatenate(out, axis=1)
 
 
 def mask_channels(img: np.ndarray, channel_mask) -> np.ndarray:

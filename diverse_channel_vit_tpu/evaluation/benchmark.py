@@ -122,24 +122,30 @@ def run_benchmark(
 ) -> pd.DataFrame:
     """``morphem/benchmark.py:31-90`` parity.
 
-    ``umap=True`` plots when the optional ``umap-learn`` package is present
-    (it is only used for figures in the reference, never for metrics); it
-    degrades to a notice otherwise.
+    ``umap=True`` produces the reference's 2-D embedding figures
+    (``morphem/evaluation.py:18-60``): with the optional ``umap-learn``
+    package when present, else a PCA projection (sklearn) — the figures are
+    diagnostics, never metrics.
     """
-    if umap:
-        try:
-            import umap as _umap  # noqa: F401
-        except ImportError:
-            print("[run_benchmark] umap-learn not installed; skipping UMAP figures")
-            umap = False
     task_rows = [
-        ("Allen", None, None),
-        ("HPA", "Task_three", "cell_type"),
-        ("CP", "Task_four", "Plate"),
+        ("Allen", None, None, "Structure"),
+        ("HPA", "Task_three", "cell_type", "cell_type"),
+        ("CP", "Task_four", "Plate", "source"),
     ]
     full = []
     os.makedirs(dest_dir, exist_ok=True)
-    for dataset, leave_out, leaveout_label in task_rows:
+    for dataset, leave_out, leaveout_label, umap_label in task_rows:
+        if umap:
+            try:
+                create_embedding_figure(
+                    dataset,
+                    os.path.join(feature_dir, dataset, feature_file),
+                    os.path.join(root_dir, dataset, "enriched_meta.csv"),
+                    dest_dir,
+                    umap_label,
+                )
+            except Exception as e:  # figures must never fail the benchmark
+                print(f"[run_benchmark] embedding figure for {dataset} failed: {e}")
         results = evaluate(
             os.path.join(feature_dir, dataset, feature_file),
             os.path.join(root_dir, dataset, "enriched_meta.csv"),
@@ -169,6 +175,49 @@ def run_benchmark(
     suffix = f"{classifier}_{knn_metric}" if classifier == "knn" else classifier
     full_df.to_csv(os.path.join(dest_dir, f"{suffix}_full_results.csv"), index=False)
     return full_df
+
+
+def create_embedding_figure(dataset, features_path, df_path, dest_dir, label_col):
+    """2-D embedding scatter per dataset (``morphem/evaluation.py:18-60``):
+    fit on the Train split, one panel per test task, colored by
+    ``label_col``. Uses umap-learn when installed; PCA otherwise (the env
+    ships no umap — the artifact survives either way)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(dest_dir, exist_ok=True)
+    features = np.load(features_path)
+    df = pd.read_csv(df_path)
+    tasks = [t for t in df["train_test_split"].unique() if t != "Train"]
+    train_idx = np.where(df["train_test_split"] == "Train")[0]
+    try:
+        import umap as _umap
+
+        reducer = _umap.UMAP(n_neighbors=15, n_components=2)
+        method = "umap"
+    except ImportError:
+        from sklearn.decomposition import PCA
+
+        reducer = PCA(n_components=2)
+        method = "pca"
+    reducer.fit(features[train_idx])
+    fig, axes = plt.subplots(1, max(len(tasks), 1), figsize=(5 * max(len(tasks), 1), 4))
+    axes = np.atleast_1d(axes)
+    labels = df[label_col] if label_col in df.columns else df.get("label", None)
+    for ax, task in zip(axes, tasks):
+        idx = np.where(df[task])[0]
+        emb = reducer.transform(features[idx])
+        lab = labels.iloc[idx] if labels is not None else np.zeros(len(idx))
+        for li, l in enumerate(pd.unique(lab)):
+            m = np.asarray(lab == l)
+            ax.scatter(emb[m, 0], emb[m, 1], s=4, label=str(l)[:18])
+        ax.set_title(f"{dataset} {task} ({method})")
+        ax.legend(fontsize=6, markerscale=2)
+    fig.tight_layout()
+    fig.savefig(os.path.join(dest_dir, f"{dataset}_{method}.png"), dpi=120)
+    plt.close(fig)
 
 
 def chammi_score(df: pd.DataFrame, metric_col: str = "f1_score_macro") -> float:

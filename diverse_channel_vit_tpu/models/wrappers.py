@@ -35,7 +35,6 @@ class ChannelAdaptiveClassifier(nn.Module):
     with_head: bool
     learnable_temp: bool = False
     temperature: float = 0.11111
-    miro: bool = False
 
     @nn.compact
     def __call__(
@@ -57,16 +56,10 @@ class ChannelAdaptiveClassifier(nn.Module):
                 lambda key, shape: jnp.full(shape, math.log(1.0 / self.temperature)),
                 (),
             )
-        if self.miro:
-            # MIRO variance-encoder bias (``model_utils.py:105-127``): one
-            # channelwise diagonal-covariance bias over the feature tap (the
-            # model output: the pooled embedding on CHAMMI, where the
-            # reference uses MIRO; logits when a head exists)
-            init_val = math.log(math.exp(0.1 - 1e-5) - 1.0)
-            feat_dim = self.num_classes if self.with_head else self.embed_dim
-            self.param(
-                "miro_var_b", lambda key, shape: jnp.full(shape, init_val), (feat_dim,)
-            )
+        # MIRO variance encoders live OUTSIDE this tree (training/miro.py):
+        # they are per-intermediate-tap biases discovered from the model's
+        # block structure, the way the reference builds nn.ModuleLists in
+        # the Trainer (``trainer.py:207-208``), not model members.
         out = emb
         if self.with_head:
             out = nn.Dense(

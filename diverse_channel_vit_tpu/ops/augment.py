@@ -68,9 +68,13 @@ def flip_rotate_one_of(key: jax.Array, img: jax.Array, p: float = 0.5) -> jax.Ar
     return jnp.where(apply, out, img)
 
 
-def defocus_batch(key: jax.Array, imgs: jax.Array, radii: Sequence[int] = (1, 2, 3)) -> jax.Array:
+def defocus_batch(
+    key: jax.Array, imgs: jax.Array, radii: Sequence[int] = (1, 2, 3), p: float = 0.5
+) -> jax.Array:
     """Per-sample random-radius disc blur: one grouped conv per radius, then
-    a per-sample select — 3 cheap convs beat a dynamic kernel."""
+    a per-sample select — 3 cheap convs beat a dynamic kernel. Applied with
+    per-sample probability ``p`` (albumentations' A.Defocus default 0.5,
+    ``jump_cp_transforms.py:136``)."""
     b, c, h, w = imgs.shape
     outs = []
     for r in radii:
@@ -84,13 +88,20 @@ def defocus_batch(key: jax.Array, imgs: jax.Array, radii: Sequence[int] = (1, 2,
         )
         outs.append(y)
     stacked = jnp.stack(outs, axis=0)  # (R, B, C, H, W)
-    pick = jax.random.randint(key, (b,), 0, len(radii))
-    return jnp.take_along_axis(stacked, pick[None, :, None, None, None], axis=0)[0]
+    kp, kr = jax.random.split(key)
+    pick = jax.random.randint(kr, (b,), 0, len(radii))
+    blurred = jnp.take_along_axis(stacked, pick[None, :, None, None, None], axis=0)[0]
+    apply = jax.random.uniform(kp, (b,)) <= p
+    return jnp.where(apply[:, None, None, None], blurred, imgs)
 
 
-def coarse_dropout(key: jax.Array, img: jax.Array, holes: int, hh: int, hw: int) -> jax.Array:
+def coarse_dropout(
+    key: jax.Array, img: jax.Array, holes: int, hh: int, hw: int, p: float = 0.5
+) -> jax.Array:
+    """A.CoarseDropout at its default per-sample p=0.5
+    (``jump_cp_transforms.py:128``)."""
     c, h, w = img.shape
-    ky, kx = jax.random.split(key)
+    ky, kx, kp = jax.random.split(key, 3)
     ys = jax.random.randint(ky, (holes,), 0, max(1, h - hh))
     xs = jax.random.randint(kx, (holes,), 0, max(1, w - hw))
     row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
@@ -99,6 +110,7 @@ def coarse_dropout(key: jax.Array, img: jax.Array, holes: int, hh: int, hw: int)
         (row[None] >= ys[:, None, None]) & (row[None] < ys[:, None, None] + hh)
         & (col[None] >= xs[:, None, None]) & (col[None] < xs[:, None, None] + hw)
     ).any(axis=0)
+    inside = inside & (jax.random.uniform(kp) <= p)
     return jnp.where(inside[None], 0.0, img)
 
 

@@ -84,6 +84,25 @@ class Trainer:
             self.all_chunks.extend(entry.keys())
         self.mapper = self._build_mapper()
 
+        # auto-size the eval batch to the accelerator's memory when unset
+        # (reference trainer.py:93-105: 512 at 14 GB, scaled and rounded to
+        # a power of 2; depthwise models cap at 128)
+        if not cfg.eval.get("batch_size"):
+            if "depthwise" not in str(cfg.model.name):
+                mem_gb = 16.0
+                try:
+                    stats = jax.devices()[0].memory_stats() or {}
+                    mem_gb = stats.get("bytes_limit", 16 << 30) / (1 << 30)
+                except Exception:
+                    pass
+                ebs = 2 ** int(math.log2(max(int(512 * mem_gb / 14), 1)))
+            else:
+                ebs = 128
+            try:
+                cfg.eval.batch_size = ebs
+            except Exception:
+                pass
+
         # -- data ----------------------------------------------------------
         self.train_loaders: Dict[str, object] = {}
         self.val_loaders: Dict[str, object] = {}
@@ -126,9 +145,6 @@ class Trainer:
         )
         self.miro = bool(cfg.train.get("miro", False))
         self.miro_ld = float(cfg.train.get("miro_ld", 0.01) or 0.01)
-        if self.miro:
-            # MIRO (trainer.py:170-208): frozen pre-featurizer + var encoder
-            self.model = self.model.clone(miro=True)
         self.learnable_temp = bool(cfg.model.get("learnable_temp", False))
         self.temperature = float(cfg.model.get("temperature", 0.11111))
         self.extra_loss_lambda = float(cfg.train.get("extra_loss_lambda", 0.0) or 0.0)
@@ -157,21 +173,39 @@ class Trainer:
             steps_per_epoch=self.updates_per_epoch,
             convert_to_batch=bool(cfg.scheduler.get("convert_to_batch", False)),
         )
-        # SWA/SWAD (trainer.py:242-244, :810-812, :957-959): constant swa_lr
-        # past swa_start (SWALR role), running equal-average of params
+        # SWA/SWAD (trainer.py:242-244, :810-812, :938-940, :957-959).
+        # Cadence parity with the reference:
+        # - plain SWA: AveragedModel.update_parameters once per EPOCH past
+        #   swa_start; the main timm scheduler keeps stepping per batch, so
+        #   SWALR's per-epoch lr write is overwritten on the next batch —
+        #   the effective lr stays the base schedule.
+        # - SWAD: update per BATCH past swa_start; the main scheduler is
+        #   frozen (step_update skipped, trainer.py:938-940) and SWALR steps
+        #   per batch, cosine-annealing from the frozen lr to swa_lr over
+        #   its default anneal_epochs=10 steps, then constant.
         self.swa = bool(cfg.train.get("swa", False))
         self.swad = bool(cfg.train.get("swad", False))
         self.swa_start = int(cfg.train.get("swa_start", 5) or 5)
-        if self.swa or self.swad:
+        if self.swad:
             base_sched = self.lr_schedule
             swa_lr = float(cfg.train.get("swa_lr", 0.05) or 0.05)
+            # the loop runs epochs 1..num_epochs with updates past
+            # `epoch > swa_start`, so the freeze boundary is the last step
+            # of epoch swa_start
             swa_step0 = self.swa_start * self.updates_per_epoch
+            anneal_steps = 10  # torch SWALR default anneal_epochs
 
-            def swa_sched(step):
-                return jnp.where(jnp.asarray(step) >= swa_step0,
-                                 jnp.float32(swa_lr), base_sched(step))
+            def swad_sched(step):
+                # SWALR steps AFTER the optimizer step (trainer.py:957-959),
+                # so batch `swa_step0 + t` trains at anneal(t), anneal(0)=0
+                step = jnp.asarray(step)
+                lr0 = base_sched(jnp.minimum(step, swa_step0 - 1))
+                t = jnp.clip((step - swa_step0) / anneal_steps, 0.0, 1.0)
+                alpha = 0.5 * (1.0 - jnp.cos(jnp.pi * t))  # SWALR cos anneal
+                annealed = (1.0 - alpha) * base_sched(swa_step0 - 1) + alpha * swa_lr
+                return jnp.where(step >= swa_step0, annealed, lr0)
 
-            self.lr_schedule = swa_sched
+            self.lr_schedule = swad_sched
         self.swa_params = None
         self.swa_n = 0
         self.channel_counter: Dict[int, int] = {}
@@ -189,13 +223,15 @@ class Trainer:
             # MIRO encoders train at lr * miro_lr_mult (trainer.py:1233-1239)
             import optax
 
+            from .training.miro import MIRO_KEY
+
             mult = float(cfg.train.get("miro_lr_mult", 10.0) or 10.0)
             boosted = optax.chain(self.tx, optax.scale(mult))
             self.tx = optax.multi_transform(
                 {"base": self.tx, "miro": boosted},
                 lambda params: jax.tree_util.tree_map_with_path(
                     lambda p, _: "miro" if any(
-                        getattr(k, "key", None) == "miro_var_b" for k in p
+                        getattr(k, "key", None) == MIRO_KEY for k in p
                     ) else "base",
                     params,
                 ),
@@ -226,7 +262,7 @@ class Trainer:
                 unfreeze_last_n_layers=last_n,
                 unfreeze_first_layer=bool(cfg.model.get("unfreeze_first_layer", True)),
             )
-            self.tx = masked_optimizer(self.tx, labels)
+            self.tx = masked_optimizer(self.tx, labels, unfreeze_last_n_layers=max(0, last_n))
             self.state = self.state.replace(tx=self.tx, opt_state=self.tx.init(self.state.params))
         if self.n_devices > 1:
             if self.mesh.shape.get("model", 1) > 1:
@@ -245,10 +281,18 @@ class Trainer:
                          f"{self.n_devices} devices, dtype {dtype_name}")
         self.miro_pre_params = None
         if self.miro:
+            from .training.miro import MIRO_KEY, init_encoders
+
             # frozen copy of the init params = the reference's pre_featurizer.
             # Deep copy: the live state's buffers get donated by the train
             # step, which would invalidate an aliased snapshot.
             self.miro_pre_params = jax.tree_util.tree_map(jnp.copy, self.state.params)
+            # per-tap VarianceEncoder biases (get_shapes equivalent), stored
+            # beside the model tree so they checkpoint/optimize uniformly
+            encoders = init_encoders(self.model, self.state.params, sample, jnp.asarray(cids0))
+            params = dict(self.state.params)
+            params[MIRO_KEY] = encoders
+            self.state = self.state.replace(params=params, opt_state=self.tx.init(params))
 
         # -- step caches -----------------------------------------------------
         self._train_steps: Dict = {}
@@ -300,10 +344,18 @@ class Trainer:
     def _build_dataset(self):
         cfg = self.cfg
         num_hosts, host_id = jax.process_count(), jax.process_index()
+        # CHAMMI feature extraction indexes features.npy by the FULL csv, so
+        # its eval loaders replicate over hosts; accuracy-style evals stay
+        # host-sharded and reduce (correct, total) via _reduce_eval_counts —
+        # the torchmetrics-allreduce role (reference trainer.py:437-449)
+        eval_hosts, eval_host = (
+            (1, 0) if self.dataset_name == "morphem70k" else (num_hosts, host_id)
+        )
         for chunk in self.all_chunks:
             tr, va, te = get_train_val_test_loaders(
                 cfg, chunk, self.seed,
                 num_hosts=num_hosts, host_id=host_id,
+                eval_num_hosts=eval_hosts, eval_host_id=eval_host,
                 tps_prob=cfg.train.get("tps_prob", 0.0) or 0.0,
             )
             self.train_loaders[chunk] = tr
@@ -512,7 +564,8 @@ class Trainer:
             if t_first_step_done is None:
                 t_first_step_done = time.perf_counter()
                 n_warmup = n_images
-            if (self.swa or self.swad) and epoch > self.swa_start:
+            if self.swad and epoch > self.swa_start:
+                # SWAD averages per batch (trainer.py:957-959)
                 self._swa_update()
             for k, v in metrics.items():
                 if k == "sampled_channels":
@@ -526,6 +579,10 @@ class Trainer:
                     {k: round(m.avg, 5) for k, m in meters.items()},
                     pref_msg=f"  [e{epoch} b{i + 1}/{len(loader)}]",
                 )
+        if self.swa and not self.swad and epoch > self.swa_start:
+            # plain SWA averages once per epoch (trainer.py:810-812)
+            self._swa_update()
+        self._log_pooling_weights()
         out = {k: m.avg for k, m in meters.items()}
         if t_first_step_done is not None and n_images > n_warmup:
             steady = time.perf_counter() - t_first_step_done
@@ -534,6 +591,24 @@ class Trainer:
                     (n_images - n_warmup) / steady / max(self.n_devices, 1)
                 )
         return out
+
+    def _log_pooling_weights(self):
+        """Depthwise models' per-channel pooling weights, once per epoch
+        (reference ``trainer.py:816-820``). Covers the DepthwiseConvNeXt
+        ``weighted_sum_pooling`` table(s) and DepthwiseViT's
+        ``channel_weights``."""
+        logged = {}
+
+        def visit(path, leaf):
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            tail = name.rsplit("/", 1)[-1]
+            if tail.startswith("weighted_sum_pooling") or tail == "channel_weights":
+                for i, w in enumerate(np.asarray(leaf).ravel().tolist()):
+                    logged[f"weights/{tail}/w_{i}"] = round(float(w), 5)
+
+        jax.tree_util.tree_map_with_path(visit, self.state.params)
+        if logged:
+            self.logger.info(logged)
 
     def _device_batch(self, batch):
         img = batch["image"]
@@ -573,6 +648,15 @@ class Trainer:
             g, metrics = gstep(self.state.params, sub, jax.random.fold_in(rng, ci))
             grads = g if grads is None else tree_add(grads, g)
             for k_, v in metrics.items():
+                if k_ == "sampled_channels":
+                    # global channel ids from every chunk feed one counter
+                    # (reference trainer.py:796-804 logs the mixed loader's)
+                    prev = out.get("sampled_channels")
+                    arr = np.asarray(v).ravel()
+                    out["sampled_channels"] = (
+                        arr if prev is None else np.concatenate([prev, arr])
+                    )
+                    continue
                 out[f"{chunk}/{k_}"] = float(v)
         self.state, gnorm = self._apply_step(self.state, grads)
         out["grad_norm"] = float(gnorm)
@@ -583,7 +667,56 @@ class Trainer:
     # evaluation
     # ------------------------------------------------------------------
 
+    def plot_attention(self, epoch: int) -> Optional[str]:
+        """``train.plot_attn`` consumer: save the last layer's CLS-attention
+        per channel as a figure + .npy for one eval batch. (The reference
+        declares the flag, ``config.py:80``, but never consumes it; the
+        materialization here uses the dense-capture path, vit.py
+        ``attention_maps``.)"""
+        from .models.vit import attention_maps
+
+        loader = self._eval_loader_for("valid") or self._eval_loader_for("test")
+        if loader is None:
+            return None
+        batch = next(iter(loader))
+        x = jnp.asarray(batch["image"][:8])
+        split = "valid" if self._eval_loader_for("valid") is not None else "test"
+        cids = jnp.asarray(self._chunk_channel_ids(split if split in self.mapper else "train"))
+        probs = attention_maps(self.model, self.state.params, x, cids)  # (B, H, N, N)
+        cls_attn = np.asarray(probs[:, :, 0, 1:])  # (B, H, N-1)
+        out_dir = os.path.join(self.checkpoints, "attn")
+        os.makedirs(out_dir, exist_ok=True)
+        np.save(os.path.join(out_dir, f"cls_attn_epoch{epoch}.npy"), cls_attn)
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            c = len(cids)
+            hw = cls_attn.shape[-1] // c
+            side = int(math.sqrt(hw))
+            mean_attn = cls_attn.mean(axis=(0, 1)).reshape(c, side, side)
+            fig, axes = plt.subplots(1, c, figsize=(2.2 * c, 2.4))
+            for ci, ax in enumerate(np.atleast_1d(axes)):
+                ax.imshow(mean_attn[ci])
+                ax.set_title(f"ch {int(cids[ci])}", fontsize=8)
+                ax.axis("off")
+            path = os.path.join(out_dir, f"cls_attn_epoch{epoch}.png")
+            fig.tight_layout()
+            fig.savefig(path, dpi=110)
+            plt.close(fig)
+            return path
+        except Exception as e:
+            self.logger.info(f"plot_attn figure failed: {e}")
+            return None
+
     def evaluate_model(self, epoch: int) -> Dict[str, float]:
+        if self.cfg.train.get("plot_attn", False):
+            try:
+                self.plot_attention(epoch)
+            except Exception as e:  # diagnostics never fail the run
+                self.logger.info(f"plot_attn failed: {e}")
         if self.dataset_name == "morphem70k":
             from .evaluation.morphem_eval import eval_morphem70k
 
@@ -758,7 +891,21 @@ class Trainer:
             valid = batch.get("valid", np.ones(len(pred), bool))
             correct += int(((pred == batch["label"]) & valid).sum())
             total += int(valid.sum())
+        correct, total = self._reduce_eval_counts(correct, total)
         return correct / max(total, 1)
+
+    @staticmethod
+    def _reduce_eval_counts(correct: int, total: int):
+        """Sum host-local (correct, total) across all hosts — eval loaders
+        stride the dataset per host, so the global accuracy needs the global
+        counts (the reference's torchmetrics allreduce, trainer.py:437-449)."""
+        if jax.process_count() == 1:
+            return correct, total
+        from jax.experimental import multihost_utils
+
+        counts = multihost_utils.process_allgather(np.asarray([correct, total]))
+        summed = counts.sum(axis=0)
+        return int(summed[0]), int(summed[1])
 
     def eval_subset_channels(self, max_subsets: Optional[int] = None) -> Dict[str, float]:
         """Channel-robustness sweep: accuracy over C-choose-n channel subsets
@@ -796,6 +943,7 @@ class Trainer:
                     valid = batch.get("valid", np.ones(len(pred), bool))
                     correct += int(((pred == batch["label"]) & valid).sum())
                     total += int(valid.sum())
+                correct, total = self._reduce_eval_counts(correct, total)
                 accs.append(correct / max(total, 1))
             results[f"subset_{n}/mean"] = float(np.mean(accs))
             results[f"subset_{n}/std"] = float(np.std(accs))

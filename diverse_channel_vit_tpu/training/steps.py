@@ -118,10 +118,21 @@ def _loss_and_metrics(
     miro_ld: float = 0.0,
     channel_override=None,
 ):
-    out, extra = model.apply(
-        {"params": params}, x, cids, train=True, rngs={"dropout": rng_drop},
-        channel_embed_override=channel_override,
-    )
+    miro_on = miro_pre_params is not None
+    if miro_on:
+        from .miro import MIRO_KEY, forward_with_taps, miro_vlb
+
+        # encoder biases live beside (not inside) the model tree
+        model_params = {k: v for k, v in params.items() if k != MIRO_KEY}
+        out, extra, feats = forward_with_taps(
+            model, model_params, x, cids, train=True,
+            rngs={"dropout": rng_drop}, channel_override=channel_override,
+        )
+    else:
+        out, extra = model.apply(
+            {"params": params}, x, cids, train=True, rngs={"dropout": rng_drop},
+            channel_embed_override=channel_override,
+        )
     if loss_type == "proxy":
         scale = model_scale(params, learnable_temp, temperature)
         logits = proxy_logits(params["proxies"], out, scale)
@@ -132,16 +143,14 @@ def _loss_and_metrics(
         main = cross_entropy_loss(logits, y)
     total = main + extra_loss_lambda * extra
     metrics = {"main_loss": main, "extra_loss": extra}
-    if miro_pre_params is not None:
-        # MIRO mutual-information regularizer (``trainer.py:885-910``):
-        # vlb = (mean(f) - pre_f)^2 / var + log var, identity mean encoder,
-        # bias-only diagonal variance; feature tap = the pooled embedding
-        pre_out, _ = model.apply(
-            {"params": miro_pre_params}, x, cids, train=False
+    if miro_on:
+        # MIRO mutual-information regularizer (``trainer.py:885-910``): the
+        # frozen init-time pre-featurizer runs eval-mode on the same input
+        # (torch.no_grad role = stop_gradient inside miro_vlb)
+        _, _, pre_feats = forward_with_taps(
+            model, miro_pre_params, x, cids, train=False
         )
-        pre_out = jax.lax.stop_gradient(pre_out)
-        var = jax.nn.softplus(params["miro_var_b"]) + 1e-5
-        vlb = jnp.mean((out.astype(jnp.float32) - pre_out) ** 2 / var + jnp.log(var)) / 2.0
+        vlb = miro_vlb(params[MIRO_KEY], feats, pre_feats)
         total = total + miro_ld * vlb
         metrics["miro_loss"] = vlb
     acc = jnp.mean((jnp.argmax(logits, axis=-1) == y).astype(jnp.float32))
@@ -256,6 +265,15 @@ def make_grad_step(
             )
 
         grads, metrics = jax.grad(loss_fn, has_aux=True)(params)
+        if k is not None and k < len(channel_ids):
+            # channel-usage counter input on the CHAMMI/mixed path too —
+            # the paper's headline diagnostic (dichavit.py:214-216,
+            # reference trainer.py:796-804)
+            _, cs_dbg, _ = _select_channels(
+                params, x, cids_const, rng_sample, k=k, method=hcs_method,
+                temp=hcs_temp, patch_size=patch_size,
+            )
+            metrics["sampled_channels"] = cs_dbg
         return grads, metrics
 
     return jax.jit(grad_step)

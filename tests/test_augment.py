@@ -38,11 +38,27 @@ def test_defocus_batch_constant_invariant():
 
 def test_coarse_dropout_zeros_holes():
     img = jnp.ones((2, 64, 64))
-    out = coarse_dropout(jax.random.key(0), img, 10, 10, 10)
+    out = coarse_dropout(jax.random.key(0), img, 10, 10, 10, p=1.0)
     arr = np.asarray(out)
     assert (arr == 0).any()
     # holes zero all channels at the same spatial location
     assert np.array_equal(arr[0] == 0, arr[1] == 0)
+
+
+def test_coarse_dropout_and_defocus_p_gating():
+    # albumentations defaults apply Defocus/CoarseDropout with p=0.5 —
+    # over many keys, roughly half of samples must pass through untouched
+    img = jnp.ones((2, 64, 64))
+    untouched = sum(
+        bool(np.all(np.asarray(coarse_dropout(jax.random.key(s), img, 10, 10, 10)) == 1))
+        for s in range(40)
+    )
+    assert 8 <= untouched <= 32
+
+    imgs = jax.random.uniform(jax.random.key(0), (64, 2, 16, 16))
+    out = defocus_batch(jax.random.key(1), imgs)
+    same = np.isclose(np.asarray(out), np.asarray(imgs)).all(axis=(1, 2, 3))
+    assert 16 <= int(same.sum()) <= 48
 
 
 def test_full_pipeline_shapes_and_normalization():

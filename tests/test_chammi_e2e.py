@@ -59,3 +59,29 @@ def test_chammi_full_pipeline(chammi_root, tmp_path):
     assert "knn_cosine/chammi_score" in results
     assert 0.0 <= results["knn_cosine/chammi_score"] <= 1.0
     assert np.isfinite(results["accuracy"])
+
+
+@pytest.mark.slow
+def test_chammi_fixture_learning(chammi_root, tmp_path):
+    """The system LEARNS, not just runs: overfit the CHAMMI fixture through
+    the full Trainer (DCS + CDL/TDL + proxy loss) until train accuracy is
+    near-perfect, then produce a CHAMMI score through the real benchmark
+    pipeline (VERDICT r1 next-step #9)."""
+    from diverse_channel_vit_tpu.trainer import Trainer
+
+    trainer = Trainer(_cfg(chammi_root, tmp_path, extra=[
+        "++train.num_epochs=70",
+        "++optimizer.params.lr=0.003",
+        "++model.enable_sample=False",  # overfit on full channels
+        "++train.tps_prob=0.0",
+        "++train.extra_loss_lambda=0.1",  # diversity losses fight overfit
+        "++eval.every_n_epochs=1000",  # no mid-training eval
+    ]))
+    accs = []
+    for epoch in range(1, trainer.total_epochs + 1):
+        metrics = trainer.train_one_epoch(epoch)
+        accs.append(np.mean([v for k, v in metrics.items() if k.endswith("/acc")]))
+    assert max(accs) > 0.85, f"did not overfit the fixture: accs={accs[-5:]}"
+    results = trainer.evaluate_model(trainer.total_epochs)
+    score = results["knn_cosine/chammi_score"]
+    assert 0.0 <= score <= 1.0 and np.isfinite(score)

@@ -99,3 +99,26 @@ def test_so2sat_trainer_e2e(so2sat_root, tmp_path):
     assert "test_1/accuracy" in results
     assert "test_2/accuracy" in results
     assert "test_full/accuracy" in results
+
+
+def test_plot_attn_and_eval_batch_autotune(tmp_path):
+    import os
+
+    from diverse_channel_vit_tpu.config import load_config
+    from diverse_channel_vit_tpu.trainer import Trainer
+
+    cfg = load_config("synthetic_cfg", [
+        "train.num_epochs=1", "train.batch_size=8", "train.debug=True",
+        "dataset.num_train_samples=16", "dataset.num_eval_samples=8",
+        "hardware.num_workers=0", "model.attention_impl=xla",
+        "++train.plot_attn=True", f"train.checkpoints={tmp_path}",
+        "eval.batch_size=null",
+    ])
+    t = Trainer(cfg)
+    # reference trainer.py:93-105: unset eval bs -> power of 2 (128 for
+    # depthwise, memory-scaled otherwise)
+    assert t.cfg.eval.batch_size and (t.cfg.eval.batch_size & (t.cfg.eval.batch_size - 1)) == 0
+    path = t.plot_attention(0)
+    attn_dir = os.path.join(t.checkpoints, "attn")
+    assert os.path.exists(os.path.join(attn_dir, "cls_attn_epoch0.npy"))
+    assert path is None or path.endswith(".png")
