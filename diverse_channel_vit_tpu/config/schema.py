@@ -141,6 +141,7 @@ SECTION_DEFAULTS = {
         "attention_impl": "auto",  # auto | pallas | xla
         "remat": False,  # rematerialize transformer blocks (HBM headroom)
         "scan_blocks": False,  # one nn.scan loop over blocks (fast compile; stacked params)
+        "gelu_exact": False,  # True = torch nn.GELU (erf) bit-parity; ~1.8ms/layer slower
     },
     "dataset": {
         "name": None,

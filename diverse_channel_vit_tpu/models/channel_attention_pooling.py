@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.activations import gelu
 from ..ops.initializers import normal_div8_init, normal_init
 
 Dtype = Any
@@ -57,7 +58,7 @@ class _PreNormFF(nn.Module):
         dim = x.shape[-1]
         y = nn.LayerNorm(name="norm")(x)
         y = nn.Dense(self.mlp_dim, name="fc1")(y)
-        y = jax.nn.gelu(y, approximate=False)
+        y = gelu(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         y = nn.Dense(dim, name="fc2")(y)
         return nn.Dropout(self.dropout, deterministic=not train)(y)

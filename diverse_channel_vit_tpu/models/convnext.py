@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.activations import gelu
 from ..ops.initializers import trunc_normal_init
 
 Dtype = Any
@@ -43,7 +44,7 @@ class ConvNeXtBlock(nn.Module):
         )(x)
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(y)
         y = nn.Dense(4 * self.dim, kernel_init=trunc_normal_init(std=0.02), dtype=self.dtype, name="pwconv1")(y)
-        y = jax.nn.gelu(y, approximate=False)
+        y = gelu(y)
         y = nn.Dense(self.dim, kernel_init=trunc_normal_init(std=0.02), dtype=self.dtype, name="pwconv2")(y)
         gamma = self.param("gamma", nn.initializers.constant(self.layer_scale_init), (self.dim,))
         y = y * gamma.astype(y.dtype)

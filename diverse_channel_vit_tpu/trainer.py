@@ -76,6 +76,9 @@ class Trainer:
         if cfg.train.get("use_amp", False):
             dtype_name = "bfloat16"  # AMP flag parity: bf16 compute on TPU
         self.dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+        from .ops.activations import set_gelu_exact
+
+        set_gelu_exact(bool(cfg.model.get("gelu_exact", False)))
 
         # -- chunk -> channel-id mapper (trainer.py:128-150) ---------------
         self.all_chunks = []

@@ -144,8 +144,17 @@ def _transplant(ref_model, depth):
     return jax.tree_util.tree_map(jnp.asarray, params)
 
 
+@pytest.fixture()
+def exact_gelu(monkeypatch):
+    """torch nn.GELU is erf-exact; the repo defaults to the tanh approx for
+    TPU speed (ops/activations.py) — pin exact for bit-parity tests."""
+    from diverse_channel_vit_tpu.ops import activations
+
+    monkeypatch.setattr(activations, "GELU_EXACT_DEFAULT", True)
+
+
 @pytest.mark.parametrize("img", [32, 48])
-def test_channelvit_forward_matches_reference(ref_modules, img):
+def test_channelvit_forward_matches_reference(ref_modules, exact_gelu, img):
     """Transplanted weights + fixed input through both full forwards
     (reference ``channel_vit.py:139-302`` with xFormers off). img=48 also
     exercises the +0.1 bicubic pos-embed resample at a non-native size
@@ -223,3 +232,76 @@ def test_tps_warp_matches_reference(ref_modules):
 
     ours_img = ndimage.map_coordinates(img, np.stack([wx, wy]), order=1, mode="reflect")
     np.testing.assert_allclose(ours_img, ref_imgs[0], atol=1e-8)
+
+
+def test_convnext_torch_weight_converter_parity(exact_gelu):
+    """load_torch_convnext_state maps a timm-style state_dict correctly:
+    the converted flax trunk matches a torch implementation of the same
+    ConvNeXt stage (dwconv -> LN -> fc1 -> gelu -> fc2 -> gamma -> residual,
+    + downsample) on a fixed input — the zero-egress substitute for testing
+    against real timm weights."""
+    import jax
+    import jax.numpy as jnp
+    import torch.nn.functional as F
+
+    from diverse_channel_vit_tpu.models.convnext import (
+        ConvNeXtTrunk,
+        load_torch_convnext_state,
+    )
+
+    torch.manual_seed(1)
+    depths, dims = (1, 1), (8, 16)
+    # fabricate a timm-convnext-style state dict
+    sd = {}
+    sd["stem.1.weight"] = torch.randn(8)
+    sd["stem.1.bias"] = torch.randn(8)
+    for si, (d, dim) in enumerate(zip(depths, dims)):
+        if si > 0:
+            sd[f"stages.{si}.downsample.0.weight"] = torch.randn(dims[si - 1])
+            sd[f"stages.{si}.downsample.0.bias"] = torch.randn(dims[si - 1])
+            sd[f"stages.{si}.downsample.1.weight"] = torch.randn(dim, dims[si - 1], 2, 2) * 0.1
+            sd[f"stages.{si}.downsample.1.bias"] = torch.randn(dim) * 0.1
+        b = f"stages.{si}.blocks.0"
+        sd[f"{b}.conv_dw.weight"] = torch.randn(dim, 1, 7, 7) * 0.1
+        sd[f"{b}.conv_dw.bias"] = torch.randn(dim) * 0.1
+        sd[f"{b}.norm.weight"] = torch.randn(dim)
+        sd[f"{b}.norm.bias"] = torch.randn(dim)
+        sd[f"{b}.mlp.fc1.weight"] = torch.randn(4 * dim, dim) * 0.1
+        sd[f"{b}.mlp.fc1.bias"] = torch.randn(4 * dim) * 0.1
+        sd[f"{b}.mlp.fc2.weight"] = torch.randn(dim, 4 * dim) * 0.1
+        sd[f"{b}.mlp.fc2.bias"] = torch.randn(dim) * 0.1
+        sd[f"{b}.gamma"] = torch.randn(dim) * 0.1
+
+    trunk = ConvNeXtTrunk(depths=depths, dims=dims)
+    x = np.random.default_rng(5).normal(size=(2, 12, 12, 8)).astype(np.float32)
+    params = trunk.init(jax.random.key(0), jnp.asarray(x), train=False)["params"]
+    params = load_torch_convnext_state(params, sd)
+    ours = np.asarray(trunk.apply({"params": params}, jnp.asarray(x), train=False))
+
+    # torch reimplementation of the same trunk (timm semantics, NCHW)
+    def ln(t, w, b):  # channels-last LN over the C axis of NCHW
+        t = t.permute(0, 2, 3, 1)
+        t = F.layer_norm(t, (t.shape[-1],), w, b, eps=1e-6)
+        return t.permute(0, 3, 1, 2)
+
+    def block(t, p):
+        y = F.conv2d(t, sd[p + ".conv_dw.weight"], sd[p + ".conv_dw.bias"],
+                     padding=3, groups=t.shape[1])
+        y = ln(y, sd[p + ".norm.weight"], sd[p + ".norm.bias"]).permute(0, 2, 3, 1)
+        y = F.linear(y, sd[p + ".mlp.fc1.weight"], sd[p + ".mlp.fc1.bias"])
+        y = F.gelu(y)
+        y = F.linear(y, sd[p + ".mlp.fc2.weight"], sd[p + ".mlp.fc2.bias"])
+        y = y * sd[p + ".gamma"]
+        return t + y.permute(0, 3, 1, 2)
+
+    with torch.no_grad():
+        t = torch.from_numpy(x).permute(0, 3, 1, 2)
+        t = ln(t, sd["stem.1.weight"], sd["stem.1.bias"])
+        t = block(t, "stages.0.blocks.0")
+        t = ln(t, sd["stages.1.downsample.0.weight"], sd["stages.1.downsample.0.bias"])
+        t = F.conv2d(t, sd["stages.1.downsample.1.weight"],
+                     sd["stages.1.downsample.1.bias"], stride=2)
+        t = block(t, "stages.1.blocks.0")
+        ref = t.permute(0, 2, 3, 1).numpy()
+
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
