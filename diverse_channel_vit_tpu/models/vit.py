@@ -338,11 +338,103 @@ class BlockStack(nn.Module):
         return y
 
 
+class _LNParams(nn.Module):
+    """Declares LayerNorm parameters (same names/shapes/init as
+    ``nn.LayerNorm``) without computing — the fused Pallas path consumes the
+    raw arrays, but the checkpoint tree stays identical to the unfused path."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
+
+
+class _DenseParams(nn.Module):
+    """Declares ``nn.Dense``-compatible kernel/bias parameters."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", dense_init, (self.in_features, self.features))
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
+class _FusedAttentionCore(nn.Module):
+    """qkv + flash + proj via ops/fused_block.qkv_project_attend (one wide
+    qkv GEMM; the flash kernel reads q/k/v as lane-block views — zero
+    copies). Takes the post-LN activations. Parameter tree identical to
+    :class:`Attention` (wq/wk/wv/proj); the qkv kernels are concatenated at
+    apply time (885 KB)."""
+
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y, *, valid_len):
+        from ..ops.fused_block import qkv_project_attend
+
+        c = y.shape[-1]
+        head_dim = c // self.num_heads
+        wq, bq = _DenseParams(c, c, self.qkv_bias, name="wq")()
+        wk, bk = _DenseParams(c, c, self.qkv_bias, name="wk")()
+        wv, bv = _DenseParams(c, c, self.qkv_bias, name="wv")()
+        w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
+        if self.qkv_bias:
+            b = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
+        else:
+            b = jnp.zeros((3 * c,), self.dtype)
+        o = qkv_project_attend(
+            y, w, b, self.num_heads, self.qk_scale or head_dim**-0.5, valid_len
+        )
+        return nn.Dense(c, kernel_init=dense_init, dtype=self.dtype, name="proj")(o)
+
+
+class _FusedMlpCore(nn.Module):
+    """LN + fc1 + tanh-GELU + fc2 (+ optional fused residual) via
+    ops/fused_block.ln_mlp; parameter tree identical to :class:`Mlp`."""
+
+    hidden_features: int
+    out_features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, ln_scale, ln_bias, *, residual: bool):
+        from ..ops.fused_block import ln_mlp
+
+        c = x.shape[-1]
+        w1, b1 = _DenseParams(c, self.hidden_features, name="fc1")()
+        w2, b2 = _DenseParams(self.hidden_features, self.out_features, name="fc2")()
+        return ln_mlp(
+            x, ln_scale, ln_bias,
+            w1.astype(self.dtype), b1.astype(self.dtype),
+            w2.astype(self.dtype), b2.astype(self.dtype),
+            residual,
+        )
+
+
 class Block(nn.Module):
     """Pre-norm transformer block (reference ``vit.py:346-399``).
 
     ``drop_path_override`` feeds a *traced* per-layer stochastic-depth rate
-    (used by :class:`BlockStack`'s scanned schedule)."""
+    (used by :class:`BlockStack`'s scanned schedule).
+
+    On TPU in bf16 with inactive dropouts the block routes through the fused
+    Pallas kernels (LN+qkv GEMM, packed-qkv flash, LN+MLP — see
+    ops/fused_block.py); the parameter tree is identical either way, so
+    checkpoints are interchangeable between the paths."""
 
     num_heads: int
     mlp_ratio: float = 4.0
@@ -354,10 +446,50 @@ class Block(nn.Module):
     attention_impl: str = "auto"
     dtype: Dtype = jnp.float32
 
+    def _fused_ok(self, x, train: bool) -> bool:
+        from ..ops import activations as _act
+        from ..ops import fused_block as _fb
+        from ..ops.attention import MAX_SINGLE_PASS_N
+
+        return (
+            self.attention_impl in ("auto", "pallas")
+            and self.dtype == jnp.bfloat16
+            and _fb.FUSED_BLOCK_DEFAULT
+            and _fb.fused_block_available()
+            and x.shape[1] % 8 == 0
+            and x.shape[1] <= MAX_SINGLE_PASS_N
+            and x.shape[-1] % 128 == 0
+            and not (train and (self.attn_drop > 0.0 or self.drop > 0.0))
+            and not _act.GELU_EXACT_DEFAULT
+        )
+
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool, valid_len: Optional[int] = None,
                  drop_path_override: Optional[jax.Array] = None) -> jax.Array:
         dim = x.shape[-1]
+        if self._fused_ok(x, train):
+            x = x.astype(self.dtype)
+            y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+            y = _FusedAttentionCore(
+                num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale, dtype=self.dtype, name="attn",
+            )(y.astype(self.dtype), valid_len=valid_len)
+            x = x + DropPath(self.drop_path, name="drop_path1")(
+                y, train=train, rate_override=drop_path_override
+            )
+            s2, b2 = _LNParams(dim, name="norm2")()
+            fuse_res = (not train) or (
+                drop_path_override is None and self.drop_path == 0.0
+            )
+            z = _FusedMlpCore(
+                hidden_features=int(dim * self.mlp_ratio), out_features=dim,
+                dtype=self.dtype, name="mlp",
+            )(x, s2, b2, residual=fuse_res)
+            if fuse_res:
+                return z
+            return x + DropPath(self.drop_path, name="drop_path2")(
+                z, train=train, rate_override=drop_path_override
+            )
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         y = Attention(
             num_heads=self.num_heads,

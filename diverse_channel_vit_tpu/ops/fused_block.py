@@ -1,0 +1,484 @@
+"""Fused transformer-block ops: wide-qkv flash attention and LN+MLP.
+
+Motivation (device trace + 12-layer chain measurements on the v5e-1,
+PERFORMANCE.md round-2): at flagship geometry the non-attention step time is
+HBM-traffic-bound — LayerNorm stats/normalize passes, the fc1 intermediate
+(327 MB/layer round trip), and three narrow qkv GEMMs where one wide GEMM
+runs measurably faster. Two ops close that:
+
+- :func:`qkv_project_attend` — ``flash(split(y @ W_qkv + b))`` as ONE
+  custom-vjp op. The forward runs a single (D, 3D) projection (a 1152-wide
+  GEMM beats three 384-wide ones by ~0.75 ms/layer, measured) and the flash
+  kernel reads q/k/v as *lane-block views* of the packed output via
+  BlockSpec index maps — zero slicing copies. The backward keeps the fast
+  decomposition: the 3-output flash backward kernel (ops/attention.py) plus
+  three narrow dX/dW GEMMs (a single-buffer d(qkv) variant was measured
+  SLOWER — 188 vs 168 ms/12 f+b — and an LN+qkv fused kernel lost to XLA's
+  own LN+GEMM pipeline, 38.6 vs 27.6 ms/12; both were dropped).
+- :func:`ln_mlp` — LayerNorm + fc1 + tanh-GELU + fc2 (+ optional fused
+  residual add) in one VMEM pass per row block; the (bm, 4D) intermediate
+  never touches HBM. Measured 65.1 vs 69.0 ms/12 f+b against the XLA
+  composition; the backward recomputes LN/fc1/GELU in VMEM and accumulates
+  weight grads in f32 scratch across the sequential row sweep.
+
+Parameters are taken as plain arrays, so the flax modules keep the
+reference-parity parameter tree (``wq/wk/wv`` kernels are concatenated at
+apply time — an 885 KB copy).
+
+Reference roles: ``models/vit.py:346-399`` (Block: LN -> qkv -> attention ->
+proj -> LN -> MLP), xFormers ``memory_efficient_attention`` (:232-249).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pragma: no cover - CPU-only hosts
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+from . import attention as _attn
+
+_EPS = 1e-6
+# tanh-GELU constants (matches ops/activations.py / torch approximate="tanh")
+_C0 = 0.7978845608028654  # sqrt(2/pi)
+_C1 = 0.044715
+
+
+def _interpret() -> bool:
+    return _attn.INTERPRET
+
+
+def _gelu_tanh_f32(x):
+    inner = _C0 * (x + _C1 * x * x * x)
+    return 0.5 * x * (1.0 + jnp.tanh(inner))
+
+
+def _dgelu_tanh_f32(x):
+    inner = _C0 * (x + _C1 * x * x * x)
+    t = jnp.tanh(inner)
+    dinner = _C0 * (1.0 + 3.0 * _C1 * x * x)
+    return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * dinner
+
+
+def _ln_f32(xf, scale, bias):
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + _EPS)
+    xhat = xc * rstd
+    return xhat * scale + bias, xhat, rstd
+
+
+def _ln_bwd_f32(dy, xhat, rstd, scale):
+    """dx for y = xhat*scale+bias given upstream dy (all f32)."""
+    dxhat = dy * scale
+    h1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    h2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    return rstd * (dxhat - h1 - xhat * h2)
+
+
+def _pick_bm(n: int, target: int) -> int:
+    """Largest multiple-of-8 divisor of n that is <= target."""
+    best = 8
+    for b in range(8, min(n, target) + 1, 8):
+        if n % b == 0:
+            best = b
+    return best
+
+
+def _full_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda b, i, _nd=nd: (0,) * _nd)
+
+
+# ---------------------------------------------------------------------------
+# ln_mlp: LayerNorm + fc1 + tanh-GELU + fc2 (+ optional residual)
+# ---------------------------------------------------------------------------
+
+
+def _ln_mlp_fwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                       *, residual):
+    xf = x_ref[0].astype(jnp.float32)
+    y, _, _ = _ln_f32(xf, s_ref[...], b_ref[...])
+    yb = y.astype(w1_ref.dtype)
+    h_pre = jax.lax.dot(yb, w1_ref[...], preferred_element_type=jnp.float32)
+    h_pre = h_pre + b1_ref[...].astype(jnp.float32)
+    h = _gelu_tanh_f32(h_pre).astype(w2_ref.dtype)
+    out = jax.lax.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
+    out = out + b2_ref[...].astype(jnp.float32)
+    if residual:
+        out = out + xf
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _ln_mlp_bwd_kernel(
+    x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, do_ref,
+    dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, ds_ref, db_ref,
+    dw1_scr, db1_scr, dw2_scr, db2_scr, ds_scr, db_scr,
+    *, n_blocks, residual,
+):
+    i = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dw1_scr[...] = jnp.zeros_like(dw1_scr)
+        db1_scr[...] = jnp.zeros_like(db1_scr)
+        dw2_scr[...] = jnp.zeros_like(dw2_scr)
+        db2_scr[...] = jnp.zeros_like(db2_scr)
+        ds_scr[...] = jnp.zeros_like(ds_scr)
+        db_scr[...] = jnp.zeros_like(db_scr)
+
+    xf = x_ref[0].astype(jnp.float32)
+    scale = s_ref[...]
+    y, xhat, rstd = _ln_f32(xf, scale, b_ref[...])
+    yb = y.astype(w1_ref.dtype)
+    h_pre = jax.lax.dot(yb, w1_ref[...], preferred_element_type=jnp.float32)
+    h_pre = h_pre + b1_ref[...].astype(jnp.float32)
+    h = _gelu_tanh_f32(h_pre).astype(w1_ref.dtype)
+
+    do = do_ref[0]
+    dof = do.astype(jnp.float32)
+    dw2_scr[...] += jax.lax.dot_general(
+        h, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db2_scr[...] += jnp.sum(dof, axis=0)
+    dh = jax.lax.dot_general(
+        do, w2_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bm, 4D)
+    dh_pre = dh * _dgelu_tanh_f32(h_pre)
+    dh_pre_b = dh_pre.astype(w1_ref.dtype)
+    dw1_scr[...] += jax.lax.dot_general(
+        yb, dh_pre_b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db1_scr[...] += jnp.sum(dh_pre, axis=0)
+    dy = jax.lax.dot_general(
+        dh_pre_b, w1_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds_scr[...] += jnp.sum(dy * xhat, axis=0)
+    db_scr[...] += jnp.sum(dy, axis=0)
+    dx = _ln_bwd_f32(dy, xhat, rstd, scale)
+    if residual:
+        dx = dx + dof
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    @pl.when(i == n_blocks - 1)
+    def _store():
+        dw1_ref[...] = dw1_scr[...]
+        db1_ref[...] = db1_scr[...]
+        dw2_ref[...] = dw2_scr[...]
+        db2_ref[...] = db2_scr[...]
+        ds_ref[...] = ds_scr[...]
+        db_ref[...] = db_scr[...]
+
+
+def _ln_mlp_fwd_impl(x, scale, bias, w1, b1, w2, b2, residual):
+    b, n, d = x.shape
+    hid = w1.shape[1]
+    bm = _pick_bm(n, 416)
+    return pl.pallas_call(
+        functools.partial(_ln_mlp_fwd_kernel, residual=residual),
+        grid=(b, n // bm),
+        in_specs=[
+            pl.BlockSpec((1, bm, d), lambda b_, i: (b_, i, 0)),
+            _full_spec(scale.shape),
+            _full_spec(bias.shape),
+            _full_spec(w1.shape),
+            _full_spec(b1.shape),
+            _full_spec(w2.shape),
+            _full_spec(b2.shape),
+        ],
+        out_specs=pl.BlockSpec((1, bm, d), lambda b_, i: (b_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        compiler_params=None if pltpu is None else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * d * hid,
+            bytes_accessed=b * n * d * 2 * 2,
+            transcendentals=b * n * hid,
+        ),
+        interpret=_interpret(),
+    )(x, scale, bias, w1, b1, w2, b2)
+
+
+def _ln_mlp_bwd_impl(x, scale, bias, w1, b1, w2, do, residual):
+    b, n, d = x.shape
+    hid = w1.shape[1]
+    bm = _pick_bm(n, 416)
+    nb = n // bm
+    outs = pl.pallas_call(
+        functools.partial(_ln_mlp_bwd_kernel, n_blocks=b * nb, residual=residual),
+        grid=(b, nb),
+        in_specs=[
+            pl.BlockSpec((1, bm, d), lambda b_, i: (b_, i, 0)),
+            _full_spec(scale.shape),
+            _full_spec(bias.shape),
+            _full_spec(w1.shape),
+            _full_spec(b1.shape),
+            _full_spec(w2.shape),
+            pl.BlockSpec((1, bm, d), lambda b_, i: (b_, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bm, d), lambda b_, i: (b_, i, 0)),
+            _full_spec((d, hid)),
+            _full_spec((hid,)),
+            _full_spec((hid, d)),
+            _full_spec((d,)),
+            _full_spec((d,)),
+            _full_spec((d,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, d), x.dtype),
+            jax.ShapeDtypeStruct((d, hid), jnp.float32),
+            jax.ShapeDtypeStruct((hid,), jnp.float32),
+            jax.ShapeDtypeStruct((hid, d), jnp.float32),
+            jax.ShapeDtypeStruct((d,), jnp.float32),
+            jax.ShapeDtypeStruct((d,), jnp.float32),
+            jax.ShapeDtypeStruct((d,), jnp.float32),
+        ],
+        scratch_shapes=[] if pltpu is None else [
+            pltpu.VMEM((d, hid), jnp.float32),
+            pltpu.VMEM((hid,), jnp.float32),
+            pltpu.VMEM((hid, d), jnp.float32),
+            pltpu.VMEM((d,), jnp.float32),
+            pltpu.VMEM((d,), jnp.float32),
+            pltpu.VMEM((d,), jnp.float32),
+        ],
+        compiler_params=None if pltpu is None else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * n * d * hid,
+            bytes_accessed=b * n * d * 2 * 3,
+            transcendentals=2 * b * n * hid,
+        ),
+        interpret=_interpret(),
+    )(x, scale, bias, w1, b1, w2, do)
+    return outs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def ln_mlp(x, scale, bias, w1, b1, w2, b2, residual=False):
+    """fc2(tanh-GELU(fc1(LayerNorm(x)))) [+ x], one VMEM pass."""
+    return _ln_mlp_fwd_impl(x, scale, bias, w1, b1, w2, b2, residual)
+
+
+def _ln_mlp_vjp_fwd(x, scale, bias, w1, b1, w2, b2, residual):
+    out = _ln_mlp_fwd_impl(x, scale, bias, w1, b1, w2, b2, residual)
+    return out, (x, scale, bias, w1, b1, w2)
+
+
+def _ln_mlp_vjp_bwd(residual, res, do):
+    x, scale, bias, w1, b1, w2 = res
+    dx, dw1, db1, dw2, db2, ds, db = _ln_mlp_bwd_impl(
+        x, scale, bias, w1, b1, w2, do, residual
+    )
+    return (
+        dx,
+        ds.astype(scale.dtype),
+        db.astype(bias.dtype),
+        dw1.astype(w1.dtype),
+        db1.astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2.astype(w2.dtype),
+    )
+
+
+ln_mlp.defvjp(_ln_mlp_vjp_fwd, _ln_mlp_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# qkv_project_attend: one wide qkv GEMM + flash over lane-block views
+# ---------------------------------------------------------------------------
+
+
+def _flash3_fwd_impl(qkv, num_heads, sm_scale, n_valid, block_q):
+    """Lane-packed flash forward reading q/k/v as 384-lane-block views of the
+    packed (B, N, 3D) array (BlockSpec index maps (b,qi,0)/(b,0,1)/(b,0,2))."""
+    b, n, d3 = qkv.shape
+    d = d3 // 3
+    nq = n // block_q
+    kernel = functools.partial(
+        _attn._packed_fwd_kernel, num_heads=num_heads, sm_scale=sm_scale,
+        n_valid=n_valid,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),
+            pl.BlockSpec((1, n, d), lambda b_, qi: (b_, 0, 1)),  # k view, resident
+            pl.BlockSpec((1, n, d), lambda b_, qi: (b_, 0, 2)),  # v view, resident
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
+        compiler_params=None if pltpu is None else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * n * d,
+            bytes_accessed=b * n * d * 2 * 4,
+            transcendentals=b * n * n * num_heads,
+        ),
+        interpret=_interpret(),
+    )(qkv, qkv, qkv)
+
+
+def _flash3_bwd_impl(qkv, o, do, num_heads, sm_scale, n_valid):
+    """Backward over the packed views; emits separate dq/dk/dv (measured
+    faster than writing one packed d(qkv) buffer: 168 vs 188 ms/12)."""
+    b, n, d3 = qkv.shape
+    d = d3 // 3
+    block_q = _attn._pick_block_q(n, hp=2, budget=_attn._BWD_SCORE_BYTES)
+    nq = n // block_q
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _attn._packed_bwd_kernel, num_heads=num_heads, sm_scale=sm_scale,
+            n_valid=n_valid, n_q_blocks=nq,
+        ),
+        grid=(b, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),  # q view
+            pl.BlockSpec((1, n, d), lambda b_, qi: (b_, 0, 1)),  # k view resident
+            pl.BlockSpec((1, n, d), lambda b_, qi: (b_, 0, 2)),  # v view resident
+            pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),  # do
+            pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),  # o
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),  # dq
+            pl.BlockSpec((1, n, d), lambda b_, qi: (b_, 0, 0)),  # dk (revisited)
+            pl.BlockSpec((1, n, d), lambda b_, qi: (b_, 0, 0)),  # dv (revisited)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
+            jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
+            jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
+        ],
+        scratch_shapes=[] if pltpu is None else [
+            pltpu.VMEM((n, d), jnp.float32),
+            pltpu.VMEM((n, d), jnp.float32),
+        ],
+        compiler_params=None if pltpu is None else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * n * n * d,
+            bytes_accessed=b * n * d * 2 * 6,
+            transcendentals=b * n * n * num_heads,
+        ),
+        interpret=_interpret(),
+    )(qkv, qkv, qkv, do, o)
+    return dq, dk, dv
+
+
+def _project(y, w, b):
+    qkv = jnp.einsum("bnd,df->bnf", y, w, preferred_element_type=jnp.float32)
+    return (qkv + b.astype(jnp.float32)).astype(y.dtype)
+
+
+def _qpa_fwd(y, w, b, num_heads, sm_scale, n_valid, block_q):
+    qkv = _project(y, w, b)
+    o = _flash3_fwd_impl(qkv, num_heads, sm_scale, n_valid, block_q)
+    return o, qkv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _qpa(y, w, b, num_heads, sm_scale, n_valid, block_q):
+    o, _ = _qpa_fwd(y, w, b, num_heads, sm_scale, n_valid, block_q)
+    return o
+
+
+def _qpa_vjp_fwd(y, w, b, num_heads, sm_scale, n_valid, block_q):
+    o, qkv = _qpa_fwd(y, w, b, num_heads, sm_scale, n_valid, block_q)
+    return o, (y, w, qkv, o)
+
+
+def _qpa_vjp_bwd(num_heads, sm_scale, n_valid, block_q, res, do):
+    y, w, qkv, o = res
+    d = y.shape[-1]
+    dq, dk, dv = _flash3_bwd_impl(qkv, o, do, num_heads, sm_scale, n_valid)
+    # three narrow GEMMs against the weight column blocks (the packed
+    # single-GEMM variant needs a d(qkv) concat copy — measured slower)
+    dy = (
+        jnp.einsum("bnf,df->bnd", dq, w[:, :d])
+        + jnp.einsum("bnf,df->bnd", dk, w[:, d:2 * d])
+        + jnp.einsum("bnf,df->bnd", dv, w[:, 2 * d:])
+    )
+    dw = jnp.concatenate(
+        [
+            jnp.einsum("bnd,bnf->df", y, g, preferred_element_type=jnp.float32)
+            for g in (dq, dk, dv)
+        ],
+        axis=1,
+    ).astype(w.dtype)
+    db = jnp.concatenate(
+        [jnp.sum(g.astype(jnp.float32), axis=(0, 1)) for g in (dq, dk, dv)]
+    ).astype(w.dtype)
+    return dy, dw, db
+
+
+_qpa.defvjp(_qpa_vjp_fwd, _qpa_vjp_bwd)
+
+
+def qkv_project_attend(
+    y: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+    num_heads: int,
+    sm_scale: Optional[float] = None,
+    valid_len: Optional[int] = None,
+) -> jax.Array:
+    """flash_attention(split(y @ w + b)) — one wide qkv GEMM, zero copies.
+
+    y: (B, N, D) post-LN activations; w: (D, 3D) packed [Wq|Wk|Wv];
+    b: (3D,). Returns (B, N, D). Pads N to a q-block multiple (a no-op when
+    the model padded via ops.attention.preferred_pad)."""
+    bsz, n, d = y.shape
+    dh = d // num_heads
+    if sm_scale is None:
+        sm_scale = dh**-0.5
+    n_valid = n if valid_len is None else int(valid_len)
+    block_q = _attn._pick_block_q(n, hp=2, budget=_attn._FWD_SCORE_BYTES)
+    n_pad = -(-n // block_q) * block_q
+    if n_pad != n:
+        y = jnp.pad(y, ((0, 0), (0, n_pad - n), (0, 0)))
+    o = _qpa(y, w, b, num_heads, float(sm_scale), n_valid, block_q)
+    return o[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# availability gates
+# ---------------------------------------------------------------------------
+
+# process-wide default, set once from config (``model.fused_block``) before
+# models build; tests flip it to exercise both paths
+FUSED_BLOCK_DEFAULT = True
+# explicit opt-in for running the fused path on CPU via the Pallas
+# interpreter (slow) — used by the equivalence tests only
+FORCE_ON_CPU = False
+
+
+def set_fused_block(enabled: bool) -> None:
+    global FUSED_BLOCK_DEFAULT
+    FUSED_BLOCK_DEFAULT = bool(enabled)
+
+
+def fused_block_available(dtype=None) -> bool:
+    """True when the fused LN+GEMM / packed-qkv path can run here."""
+    if pltpu is None:
+        return False
+    if jax.default_backend() in ("cpu",):
+        return FORCE_ON_CPU and _interpret()
+    return True

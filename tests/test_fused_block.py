@@ -1,0 +1,172 @@
+"""Fused-block Pallas ops (ops/fused_block.py): correctness vs the XLA
+composition, and Block-level fused/unfused equivalence (identical parameter
+tree, same outputs within bf16 tolerance)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diverse_channel_vit_tpu.ops import fused_block as fb
+from diverse_channel_vit_tpu.ops.attention import xla_attention
+from diverse_channel_vit_tpu.ops.fused_block import (
+    _gelu_tanh_f32,
+    ln_mlp,
+    qkv_project_attend,
+)
+
+B, N, D, H = 2, 128, 128, 2
+
+
+@pytest.fixture(autouse=True)
+def _force_cpu_fused():
+    fb.FORCE_ON_CPU = True
+    yield
+    fb.FORCE_ON_CPU = False
+
+
+def _ln_ref(x, s, b, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps) * s + b).astype(x.dtype)
+
+
+def _rel(a, b):
+    a, b = a.astype(jnp.float32), b.astype(jnp.float32)
+    return float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-9))
+
+
+def _mk(key, shape, dtype, scale=0.05):
+    return (jax.random.normal(key, shape) * scale).astype(dtype)
+
+
+@pytest.mark.parametrize("residual", [False, True])
+def test_ln_mlp_matches_xla_composition(residual):
+    key = jax.random.key(1)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (B, N, D), jnp.float32)
+    s = jnp.ones((D,))
+    bi = jnp.zeros((D,))
+    w1 = _mk(jax.random.fold_in(key, 2), (D, 4 * D), jnp.float32)
+    b1 = _mk(jax.random.fold_in(key, 3), (4 * D,), jnp.float32)
+    w2 = _mk(jax.random.fold_in(key, 4), (4 * D, D), jnp.float32)
+    b2 = _mk(jax.random.fold_in(key, 5), (D,), jnp.float32)
+
+    def ref(x, s, bi, w1, b1, w2, b2):
+        h = _gelu_tanh_f32(_ln_ref(x, s, bi) @ w1 + b1)
+        o = h @ w2 + b2
+        return o + x if residual else o
+
+    got = ln_mlp(x, s, bi, w1, b1, w2, b2, residual)
+    assert _rel(got, ref(x, s, bi, w1, b1, w2, b2)) < 1e-5
+
+    def f_fused(*a):
+        return jnp.sum(ln_mlp(*a, residual) ** 2)
+
+    def f_ref(*a):
+        return jnp.sum(ref(*a) ** 2)
+
+    g1 = jax.grad(f_fused, argnums=tuple(range(7)))(x, s, bi, w1, b1, w2, b2)
+    g2 = jax.grad(f_ref, argnums=tuple(range(7)))(x, s, bi, w1, b1, w2, b2)
+    for a, b in zip(g1, g2):
+        assert _rel(a, b) < 1e-4
+
+
+def test_qkv_project_attend_matches_xla():
+    key = jax.random.key(2)
+    y = jax.random.normal(jax.random.fold_in(key, 1), (B, N, D), jnp.float32)
+    w = _mk(jax.random.fold_in(key, 2), (D, 3 * D), jnp.float32, scale=0.2)
+    b = _mk(jax.random.fold_in(key, 3), (3 * D,), jnp.float32, scale=0.2)
+    valid = N - 5
+    dh = D // H
+
+    def ref(y, w, b):
+        qkv = y @ w + b
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        qh, kh, vh = (t.reshape(B, N, H, dh).transpose(0, 2, 1, 3) for t in (q, k, v))
+        o = xla_attention(qh, kh, vh, dh**-0.5, valid_len=valid)
+        return o.transpose(0, 2, 1, 3).reshape(B, N, D)
+
+    got = qkv_project_attend(y, w, b, H, valid_len=valid)
+    assert _rel(got, ref(y, w, b)) < 1e-5
+
+    g1 = jax.grad(lambda *a: jnp.sum(qkv_project_attend(*a, H, valid_len=valid) ** 2),
+                  argnums=(0, 1, 2))(y, w, b)
+    g2 = jax.grad(lambda *a: jnp.sum(ref(*a) ** 2), argnums=(0, 1, 2))(y, w, b)
+    for a_, b_ in zip(g1, g2):
+        assert _rel(a_, b_) < 1e-4
+
+
+def test_qkv_project_attend_pads_ragged_n():
+    """N not a q-block multiple: the op pads internally and slices back."""
+    key = jax.random.key(4)
+    n = 72
+    y = jax.random.normal(jax.random.fold_in(key, 1), (1, n, D), jnp.float32)
+    w = _mk(jax.random.fold_in(key, 2), (D, 3 * D), jnp.float32, scale=0.2)
+    b = jnp.zeros((3 * D,))
+    dh = D // H
+
+    qkv = y @ w + b
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    qh, kh, vh = (t.reshape(1, n, H, dh).transpose(0, 2, 1, 3) for t in (q, k, v))
+    want = xla_attention(qh, kh, vh, dh**-0.5, valid_len=n)
+    want = want.transpose(0, 2, 1, 3).reshape(1, n, D)
+    got = qkv_project_attend(y, w, b, H)
+    assert got.shape == (1, n, D)
+    assert _rel(got, want) < 1e-5
+
+
+def test_block_fused_equals_unfused():
+    """Same params, same input: fused Block path == unfused (bf16 tol), and
+    the parameter trees are identical (checkpoint interchangeable)."""
+    from diverse_channel_vit_tpu.models.vit import Block
+
+    blk = Block(num_heads=2, dtype=jnp.bfloat16)
+    x = (jax.random.normal(jax.random.key(3), (2, 64, 128)) * 0.5).astype(jnp.bfloat16)
+
+    fb.FORCE_ON_CPU = False  # unfused reference
+    p_un = blk.init({"params": jax.random.key(0)}, x, train=False)["params"]
+    out_un = blk.apply({"params": p_un}, x, train=False)
+
+    fb.FORCE_ON_CPU = True  # fused (interpret mode)
+    assert blk._fused_ok(x, False)
+    p_fu = blk.init({"params": jax.random.key(0)}, x, train=False)["params"]
+    out_fu = blk.apply({"params": p_fu}, x, train=False)
+
+    same = jax.tree_util.tree_all(
+        jax.tree_util.tree_map(
+            lambda a, b: a.shape == b.shape and bool(jnp.allclose(a, b)), p_un, p_fu
+        )
+    )
+    assert same, "fused/unfused parameter trees differ"
+    assert _rel(out_fu, out_un) < 3e-2
+
+    # gradients flow through the fused custom-vjp ops to every param
+    def loss(p):
+        return jnp.sum(blk.apply({"params": p}, x, train=True,
+                                 rngs={"dropout": jax.random.key(9)}).astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(p_fu)
+    norms = [float(jnp.linalg.norm(l.astype(jnp.float32))) for l in jax.tree_util.tree_leaves(g)]
+    assert all(n > 0 for n in norms)
+
+
+def test_block_fused_gate_conditions():
+    """The fused path must decline: CPU w/o force, non-bf16, odd sequence,
+    active prob-dropout in train."""
+    from diverse_channel_vit_tpu.models.vit import Block
+
+    x16 = jnp.zeros((1, 64, 128), jnp.bfloat16)
+    fb.FORCE_ON_CPU = False
+    assert not Block(num_heads=2, dtype=jnp.bfloat16)._fused_ok(x16, False)
+    fb.FORCE_ON_CPU = True
+    assert not Block(num_heads=2, dtype=jnp.float32)._fused_ok(
+        jnp.zeros((1, 64, 128), jnp.float32), False
+    )
+    assert not Block(num_heads=2, dtype=jnp.bfloat16)._fused_ok(
+        jnp.zeros((1, 63, 128), jnp.bfloat16), False
+    )
+    assert not Block(num_heads=2, dtype=jnp.bfloat16, attn_drop=0.1)._fused_ok(x16, True)
+    assert Block(num_heads=2, dtype=jnp.bfloat16, attn_drop=0.1)._fused_ok(x16, False)
+    fb.set_fused_block(False)
+    assert not Block(num_heads=2, dtype=jnp.bfloat16)._fused_ok(x16, False)
+    fb.set_fused_block(True)
