@@ -142,6 +142,7 @@ SECTION_DEFAULTS = {
         "remat": False,  # rematerialize transformer blocks (HBM headroom)
         "scan_blocks": False,  # one nn.scan loop over blocks (fast compile; stacked params)
         "gelu_exact": False,  # True = torch nn.GELU (erf) bit-parity; ~1.8ms/layer slower
+        "fused_block": True,  # Pallas fused wide-qkv flash + LN+MLP path (TPU bf16)
     },
     "dataset": {
         "name": None,

@@ -371,11 +371,11 @@ class _DenseParams(nn.Module):
 
 
 class _FusedAttentionCore(nn.Module):
-    """qkv + flash + proj via ops/fused_block.qkv_project_attend (one wide
-    qkv GEMM; the flash kernel reads q/k/v as lane-block views — zero
-    copies). Takes the post-LN activations. Parameter tree identical to
-    :class:`Attention` (wq/wk/wv/proj); the qkv kernels are concatenated at
-    apply time (885 KB)."""
+    """qkv + flash + proj (+ residual) via ops/fused_block.attend_project:
+    one wide qkv GEMM (XLA, at GEMM peak), then flash + output projection
+    (+ residual add) in one Pallas kernel pair. Takes the post-LN
+    activations. Parameter tree identical to :class:`Attention`
+    (wq/wk/wv/proj); the qkv kernels are concatenated at apply time."""
 
     num_heads: int
     qkv_bias: bool = True
@@ -383,23 +383,24 @@ class _FusedAttentionCore(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, y, *, valid_len):
-        from ..ops.fused_block import qkv_project_attend
+    def __call__(self, y, *, x_res, valid_len):
+        from ..ops.fused_block import attend_project
 
         c = y.shape[-1]
         head_dim = c // self.num_heads
         wq, bq = _DenseParams(c, c, self.qkv_bias, name="wq")()
         wk, bk = _DenseParams(c, c, self.qkv_bias, name="wk")()
         wv, bv = _DenseParams(c, c, self.qkv_bias, name="wv")()
+        wp, bp = _DenseParams(c, c, name="proj")()
         w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
         if self.qkv_bias:
             b = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
         else:
             b = jnp.zeros((3 * c,), self.dtype)
-        o = qkv_project_attend(
-            y, w, b, self.num_heads, self.qk_scale or head_dim**-0.5, valid_len
+        return attend_project(
+            y, w, b, wp.astype(self.dtype), bp.astype(self.dtype), x_res,
+            self.num_heads, self.qk_scale or head_dim**-0.5, valid_len,
         )
-        return nn.Dense(c, kernel_init=dense_init, dtype=self.dtype, name="proj")(o)
 
 
 class _FusedMlpCore(nn.Module):
@@ -469,18 +470,22 @@ class Block(nn.Module):
         dim = x.shape[-1]
         if self._fused_ok(x, train):
             x = x.astype(self.dtype)
-            y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
-            y = _FusedAttentionCore(
-                num_heads=self.num_heads, qkv_bias=self.qkv_bias,
-                qk_scale=self.qk_scale, dtype=self.dtype, name="attn",
-            )(y.astype(self.dtype), valid_len=valid_len)
-            x = x + DropPath(self.drop_path, name="drop_path1")(
-                y, train=train, rate_override=drop_path_override
-            )
-            s2, b2 = _LNParams(dim, name="norm2")()
             fuse_res = (not train) or (
                 drop_path_override is None and self.drop_path == 0.0
             )
+            y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+            attn = _FusedAttentionCore(
+                num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale, dtype=self.dtype, name="attn",
+            )
+            if fuse_res:
+                x = attn(y.astype(self.dtype), x_res=x, valid_len=valid_len)
+            else:
+                branch = attn(y.astype(self.dtype), x_res=None, valid_len=valid_len)
+                x = x + DropPath(self.drop_path, name="drop_path1")(
+                    branch, train=train, rate_override=drop_path_override
+                )
+            s2, b2 = _LNParams(dim, name="norm2")()
             z = _FusedMlpCore(
                 hidden_features=int(dim * self.mlp_ratio), out_features=dim,
                 dtype=self.dtype, name="mlp",

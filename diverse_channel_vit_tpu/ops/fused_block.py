@@ -45,6 +45,7 @@ except ImportError:  # pragma: no cover
 
 from . import attention as _attn
 
+MASK_VALUE = _attn.MASK_VALUE
 _EPS = 1e-6
 # tanh-GELU constants (matches ops/activations.py / torch approximate="tanh")
 _C0 = 0.7978845608028654  # sqrt(2/pi)
@@ -456,6 +457,352 @@ def qkv_project_attend(
         y = jnp.pad(y, ((0, 0), (0, n_pad - n), (0, 0)))
     o = _qpa(y, w, b, num_heads, float(sm_scale), n_valid, block_q)
     return o[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# attend_project: flash + output projection (+ residual) in one kernel pair
+# ---------------------------------------------------------------------------
+
+
+def _ap_fwd_kernel(q_ref, k_ref, v_ref, x_ref, wp_ref, bp_ref, o_ref, xo_ref,
+                   *, num_heads, sm_scale, n_valid, with_residual):
+    d = o_ref.shape[-1]
+    dh = d // num_heads
+    outs = []
+    # software-pipelined head loop: issue head h+1's score matmul before
+    # head h's softmax so the scheduler can overlap VPU and MXU (measured
+    # 4.21 vs 4.28 ms/layer)
+    def score(h):
+        s = jax.lax.dot_general(
+            q_ref[0, :, h * dh:(h + 1) * dh], k_ref[0, :, h * dh:(h + 1) * dh],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        if sm_scale != 1.0:
+            s = s * sm_scale
+        if n_valid < s.shape[-1]:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < n_valid, s, MASK_VALUE)
+        return s
+
+    s_next = score(0)
+    for h in range(num_heads):
+        s = s_next
+        if h + 1 < num_heads:
+            s_next = score(h + 1)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot(
+            p.astype(v_ref.dtype), v_ref[0, :, h * dh:(h + 1) * dh],
+            preferred_element_type=jnp.float32,
+        )
+        outs.append((o / l).astype(o_ref.dtype))
+    ob = jnp.concatenate(outs, axis=1)  # (bq, D)
+    o_ref[0] = ob
+    proj = jax.lax.dot(ob, wp_ref[...], preferred_element_type=jnp.float32)
+    proj = proj + bp_ref[...].astype(jnp.float32)
+    if with_residual:
+        proj = proj + x_ref[0].astype(jnp.float32)
+    xo_ref[0] = proj.astype(xo_ref.dtype)
+
+
+def _ap_bwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, wp_ref, dxo_ref,
+    dq_ref, dk_ref, dv_ref, dwp_ref, dbp_ref, db3_ref,
+    dk_scr, dv_scr, dwp_scr, dbp_scr, dbq_scr,
+    *, num_heads, sm_scale, n_valid, n_q_blocks,
+):
+    qi = pl.program_id(1)
+    # all accumulators are per batch row (reset each b, stored at the last
+    # q-block); the tiny per-b partials are summed over b by XLA outside,
+    # which keeps the b grid dimension "parallel" (a whole-grid accumulator
+    # needs sequential b — measured +3.7 ms/step)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+        dwp_scr[...] = jnp.zeros_like(dwp_scr)
+        dbp_scr[...] = jnp.zeros_like(dbp_scr)
+        dbq_scr[...] = jnp.zeros_like(dbq_scr)
+
+    d = dq_ref.shape[-1]
+    dh = d // num_heads
+    dxo = dxo_ref[0]  # (bq, D)
+    ob = o_ref[0]
+    dwp_scr[...] += jax.lax.dot_general(
+        ob, dxo, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dbp_scr[...] += jnp.sum(dxo.astype(jnp.float32), axis=0)
+    do = jax.lax.dot_general(
+        dxo, wp_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(q_ref.dtype)  # (bq, D)
+
+    def sl(h):
+        return slice(h * dh, (h + 1) * dh)
+
+    def soft(h):
+        s = jax.lax.dot_general(
+            q_ref[0, :, sl(h)], k_ref[0, :, sl(h)],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        if sm_scale != 1.0:
+            s = s * sm_scale
+        if n_valid < s.shape[-1]:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < n_valid, s, MASK_VALUE)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        return p / jnp.sum(p, axis=1, keepdims=True)
+
+    def dspart(h, p):
+        doh = do[:, sl(h)]
+        di = jnp.sum(
+            ob[:, sl(h)].astype(jnp.float32) * doh.astype(jnp.float32),
+            axis=1, keepdims=True,
+        )
+        dp = jax.lax.dot_general(
+            doh, v_ref[0, :, sl(h)], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return p * (dp - di) * sm_scale
+
+    dqs, dks, dvs = [], [], []
+    # heads processed in pairs (staged softmax/ds) — measured 9.42 vs 9.60
+    # ms/layer against the strictly sequential order; whole-row staging of
+    # all 6 heads exceeds the VMEM sweet spot (9.98)
+    for h0 in range(0, num_heads, 2):
+        pair = [h for h in (h0, h0 + 1) if h < num_heads]
+        ps = [soft(h) for h in pair]
+        dss = [dspart(h, p) for h, p in zip(pair, ps)]
+        for h, p, ds in zip(pair, ps, dss):
+            dsb = ds.astype(q_ref.dtype)
+            pb = p.astype(q_ref.dtype)
+            dqs.append(
+                jax.lax.dot(dsb, k_ref[0, :, sl(h)], preferred_element_type=jnp.float32)
+                .astype(dq_ref.dtype)
+            )
+            dks.append(jax.lax.dot_general(
+                dsb, q_ref[0, :, sl(h)], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+            dvs.append(jax.lax.dot_general(
+                pb, do[:, sl(h)], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+    dq_blk = jnp.concatenate(dqs, axis=1)
+    dq_ref[0] = dq_blk
+    dk_scr[...] += jnp.concatenate(dks, axis=1)
+    dv_scr[...] += jnp.concatenate(dvs, axis=1)
+    # qkv bias grads: column sums of dq (here) and dk/dv (at store time) —
+    # free in VMEM vs XLA's ~4 ms/step bf16 reduces over the dq/dk/dv arrays
+    dbq_scr[...] += jnp.sum(dq_blk.astype(jnp.float32), axis=0)
+
+    @pl.when(qi == n_q_blocks - 1)
+    def _store():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+        dwp_ref[0] = dwp_scr[...]
+        dbp_ref[0, 0] = dbp_scr[...]
+        # (3, d) rows [dbq, dbk, dbv] — sublane-offset stores; a 1-D concat
+        # at lane offsets is not Mosaic-lowerable
+        db3_ref[0, 0] = dbq_scr[...]
+        db3_ref[0, 1] = jnp.sum(dk_scr[...], axis=0)
+        db3_ref[0, 2] = jnp.sum(dv_scr[...], axis=0)
+
+
+def _ap_fwd_impl(qkv, x_res, wp, bp, num_heads, sm_scale, n_valid, block_q,
+                 with_residual):
+    b, n, d3 = qkv.shape
+    d = d3 // 3
+    nq = n // block_q
+    x_in = x_res if with_residual else jnp.zeros((b, 8, d), qkv.dtype)
+    x_spec = (
+        pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0))
+        if with_residual
+        else pl.BlockSpec((1, 8, d), lambda b_, qi: (b_, 0, 0))
+    )
+    kernel = functools.partial(
+        _ap_fwd_kernel, num_heads=num_heads, sm_scale=sm_scale,
+        n_valid=n_valid, with_residual=with_residual,
+    )
+    o, xo = pl.pallas_call(
+        kernel,
+        grid=(b, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),  # q view
+            pl.BlockSpec((1, n, d), lambda b_, qi: (b_, 0, 1)),  # k view resident
+            pl.BlockSpec((1, n, d), lambda b_, qi: (b_, 0, 2)),  # v view resident
+            x_spec,
+            _full_spec(wp.shape),
+            _full_spec(bp.shape),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
+            jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
+        ],
+        compiler_params=None if pltpu is None else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * n * d + 2 * b * n * d * d,
+            bytes_accessed=b * n * d * 2 * 5,
+            transcendentals=b * n * n * num_heads,
+        ),
+        interpret=_interpret(),
+    )(qkv, qkv, qkv, x_in, wp, bp)
+    return o, xo
+
+
+def _ap_bwd_impl(qkv, o, wp, dxo, num_heads, sm_scale, n_valid):
+    b, n, d3 = qkv.shape
+    d = d3 // 3
+    block_q = _attn._pick_block_q(n, hp=2, budget=_attn._BWD_SCORE_BYTES)
+    nq = n // block_q
+    dq, dk, dv, dwp_b, dbp_b, db3_b = pl.pallas_call(
+        functools.partial(
+            _ap_bwd_kernel, num_heads=num_heads, sm_scale=sm_scale,
+            n_valid=n_valid, n_q_blocks=nq,
+        ),
+        grid=(b, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),  # q view
+            pl.BlockSpec((1, n, d), lambda b_, qi: (b_, 0, 1)),  # k view resident
+            pl.BlockSpec((1, n, d), lambda b_, qi: (b_, 0, 2)),  # v view resident
+            pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),  # o
+            _full_spec(wp.shape),
+            pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),  # dxo
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),  # dq
+            pl.BlockSpec((1, n, d), lambda b_, qi: (b_, 0, 0)),  # dk (revisited)
+            pl.BlockSpec((1, n, d), lambda b_, qi: (b_, 0, 0)),  # dv (revisited)
+            pl.BlockSpec((1, d, d), lambda b_, qi: (b_, 0, 0)),  # dwp per-b
+            pl.BlockSpec((1, 1, d), lambda b_, qi: (b_, 0, 0)),  # dbp per-b
+            pl.BlockSpec((1, 3, d), lambda b_, qi: (b_, 0, 0)),  # dbqkv per-b
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
+            jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
+            jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
+            jax.ShapeDtypeStruct((b, d, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, 3, d), jnp.float32),
+        ],
+        scratch_shapes=[] if pltpu is None else [
+            pltpu.VMEM((n, d), jnp.float32),
+            pltpu.VMEM((n, d), jnp.float32),
+            pltpu.VMEM((d, d), jnp.float32),
+            pltpu.VMEM((d,), jnp.float32),
+            pltpu.VMEM((d,), jnp.float32),
+        ],
+        compiler_params=None if pltpu is None else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * n * n * d + 4 * b * n * d * d,
+            bytes_accessed=b * n * d * 2 * 6,
+            transcendentals=b * n * n * num_heads,
+        ),
+        interpret=_interpret(),
+    )(qkv, qkv, qkv, o, wp, dxo)
+    # per-b weight/bias partials -> tiny XLA sums (keeps the b grid parallel)
+    return (
+        dq, dk, dv,
+        dwp_b.sum(axis=0), dbp_b.sum(axis=(0, 1)),
+        db3_b.sum(axis=0).reshape(3 * d),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _apa(y, w, b, wp, bp, x_res, num_heads, sm_scale, n_valid, block_q,
+         with_residual):
+    qkv = _project(y, w, b)
+    _, xo = _ap_fwd_impl(qkv, x_res, wp, bp, num_heads, sm_scale, n_valid,
+                         block_q, with_residual)
+    return xo
+
+
+def _apa_vjp_fwd(y, w, b, wp, bp, x_res, num_heads, sm_scale, n_valid, block_q,
+                 with_residual):
+    qkv = _project(y, w, b)
+    o, xo = _ap_fwd_impl(qkv, x_res, wp, bp, num_heads, sm_scale, n_valid,
+                         block_q, with_residual)
+    return xo, (y, w, wp, qkv, o)
+
+
+def _apa_vjp_bwd(num_heads, sm_scale, n_valid, block_q, with_residual, res, dxo):
+    y, w, wp, qkv, o = res
+    d = y.shape[-1]
+    dq, dk, dv, dwp, dbp, db3 = _ap_bwd_impl(
+        qkv, o, wp, dxo, num_heads, sm_scale, n_valid
+    )
+    dy = (
+        jnp.einsum("bnf,df->bnd", dq, w[:, :d])
+        + jnp.einsum("bnf,df->bnd", dk, w[:, d:2 * d])
+        + jnp.einsum("bnf,df->bnd", dv, w[:, 2 * d:])
+    )
+    dw = jnp.concatenate(
+        [
+            jnp.einsum("bnd,bnf->df", y, g, preferred_element_type=jnp.float32)
+            for g in (dq, dk, dv)
+        ],
+        axis=1,
+    ).astype(w.dtype)
+    db = db3.astype(w.dtype)
+    dx_res = (
+        dxo
+        if with_residual
+        else jnp.zeros((dxo.shape[0], 8, dxo.shape[2]), dxo.dtype)
+    )
+    return dy, dw, db, dwp.astype(wp.dtype), dbp.astype(wp.dtype), dx_res
+
+
+_apa.defvjp(_apa_vjp_fwd, _apa_vjp_bwd)
+
+
+def attend_project(
+    y: jax.Array,
+    w_qkv: jax.Array,
+    b_qkv: jax.Array,
+    w_proj: jax.Array,
+    b_proj: jax.Array,
+    x_res: Optional[jax.Array],
+    num_heads: int,
+    sm_scale: Optional[float] = None,
+    valid_len: Optional[int] = None,
+) -> jax.Array:
+    """[x_res +] proj(flash_attention(split(y @ w_qkv + b_qkv))).
+
+    The full attention sub-block as one custom-vjp op: wide qkv GEMM (XLA,
+    measured at GEMM peak), flash + output projection (+ residual add) in
+    one Pallas kernel (the in-kernel proj GEMM runs ~2x the XLA MFU at this
+    shape and the bias grad costs nothing vs XLA's 2.6 ms/step bf16 reduce).
+    ``x_res=None`` returns the branch only (drop-path active)."""
+    bsz, n, d = y.shape
+    dh = d // num_heads
+    if sm_scale is None:
+        sm_scale = dh**-0.5
+    n_valid = n if valid_len is None else int(valid_len)
+    block_q = _attn._pick_block_q(n, hp=2, budget=_attn._FWD_SCORE_BYTES)
+    n_pad = -(-n // block_q) * block_q
+    if n_pad != n:
+        pad = ((0, 0), (0, n_pad - n), (0, 0))
+        y = jnp.pad(y, pad)
+        if x_res is not None:
+            x_res = jnp.pad(x_res, pad)
+    with_residual = x_res is not None
+    if x_res is None:
+        x_res = jnp.zeros((bsz, 8, d), y.dtype)
+    xo = _apa(y, w_qkv, b_qkv, w_proj, b_proj, x_res, num_heads,
+              float(sm_scale), n_valid, block_q, with_residual)
+    return xo[:, :n]
 
 
 # ---------------------------------------------------------------------------

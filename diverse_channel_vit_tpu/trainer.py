@@ -77,8 +77,10 @@ class Trainer:
             dtype_name = "bfloat16"  # AMP flag parity: bf16 compute on TPU
         self.dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
         from .ops.activations import set_gelu_exact
+        from .ops.fused_block import set_fused_block
 
         set_gelu_exact(bool(cfg.model.get("gelu_exact", False)))
+        set_fused_block(bool(cfg.model.get("fused_block", True)))
 
         # -- chunk -> channel-id mapper (trainer.py:128-150) ---------------
         self.all_chunks = []

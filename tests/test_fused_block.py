@@ -96,6 +96,51 @@ def test_qkv_project_attend_matches_xla():
         assert _rel(a_, b_) < 1e-4
 
 
+@pytest.mark.parametrize("with_residual", [False, True])
+def test_attend_project_matches_xla(with_residual):
+    from diverse_channel_vit_tpu.ops.fused_block import attend_project
+
+    key = jax.random.key(7)
+    y = jax.random.normal(jax.random.fold_in(key, 1), (B, N, D), jnp.float32)
+    x = jax.random.normal(jax.random.fold_in(key, 2), (B, N, D), jnp.float32)
+    w = _mk(jax.random.fold_in(key, 3), (D, 3 * D), jnp.float32, scale=0.2)
+    b = _mk(jax.random.fold_in(key, 4), (3 * D,), jnp.float32, scale=0.2)
+    wp = _mk(jax.random.fold_in(key, 5), (D, D), jnp.float32, scale=0.2)
+    bp = _mk(jax.random.fold_in(key, 6), (D,), jnp.float32, scale=0.2)
+    valid = N - 3
+    dh = D // H
+
+    def ref(y, w, b, wp, bp, x):
+        qkv = y @ w + b
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        qh, kh, vh = (t.reshape(B, N, H, dh).transpose(0, 2, 1, 3) for t in (q, k, v))
+        o = xla_attention(qh, kh, vh, dh**-0.5, valid_len=valid)
+        o = o.transpose(0, 2, 1, 3).reshape(B, N, D)
+        out = o @ wp + bp
+        return out + x if with_residual else out
+
+    got = attend_project(y, w, b, wp, bp, x if with_residual else None, H,
+                         valid_len=valid)
+    assert _rel(got, ref(y, w, b, wp, bp, x)) < 1e-5
+
+    def f_fused(y, w, b, wp, bp, x):
+        out = attend_project(y, w, b, wp, bp, x if with_residual else None, H,
+                             valid_len=valid)
+        return jnp.sum(out ** 2)
+
+    def f_ref(*a):
+        return jnp.sum(ref(*a) ** 2)
+
+    g1 = jax.grad(f_fused, argnums=(0, 1, 2, 3, 4, 5))(y, w, b, wp, bp, x)
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2, 3, 4, 5))(y, w, b, wp, bp, x)
+    names = ("dy", "dw", "db", "dwp", "dbp", "dx")
+    for nm, a_, b_ in zip(names, g1, g2):
+        if nm == "dx" and not with_residual:
+            assert float(jnp.max(jnp.abs(a_))) == 0.0
+            continue
+        assert _rel(a_, b_) < 1e-4, nm
+
+
 def test_qkv_project_attend_pads_ragged_n():
     """N not a q-block multiple: the op pads internally and slices back."""
     key = jax.random.key(4)
