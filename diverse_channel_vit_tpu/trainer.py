@@ -404,6 +404,7 @@ class Trainer:
                 miro_ld=self.miro_ld if self.miro else 0.0,
                 augment_fn=self._device_augment_fn(),
                 donate=bool(self.cfg.train.get("donate_state", True)),
+                mesh=self.mesh,
             )
         return self._train_steps[key]
 
@@ -426,6 +427,7 @@ class Trainer:
                 miro_pre_params=self.miro_pre_params,
                 miro_ld=self.miro_ld if self.miro else 0.0,
                 augment_fn=self._device_augment_fn(),
+                mesh=self.mesh,
             )
         return self._grad_steps[key]
 
@@ -454,7 +456,8 @@ class Trainer:
             from .models.wrappers import bind_chunk
 
             self._eval_steps[chunk] = make_eval_step(
-                bind_chunk(self.model, chunk) if chunk else self.model
+                bind_chunk(self.model, chunk) if chunk else self.model,
+                mesh=self.mesh,
             )
         return self._eval_steps[chunk]
 

@@ -59,6 +59,7 @@ def _select_channels(
     method: str,
     temp: float,
     patch_size: Optional[int] = None,
+    axis_name: Optional[str] = None,
 ):
     """Gather a sampled channel subset of the batch (HCS/DCS).
 
@@ -67,6 +68,11 @@ def _select_channels(
     sample and carries the matching embeddings as a (B, k, D) override
     (``dichavit.py:138-149``); ``*_proj`` scores channels by batch-mean
     cosine of projected patches (``dichavit.py:156-161``).
+
+    ``axis_name``: set when running per data shard inside ``shard_map`` —
+    the batch-mean cosine is pmean'd so every shard draws the SAME global
+    subset (matching the single-device semantics), and ``hcs_per_sample``
+    folds the shard index so per-sample subsets stay independent.
     """
     c = x.shape[1]
     if k is None or k >= c:
@@ -75,6 +81,8 @@ def _select_channels(
     if method == "hcs_per_sample":
         from ..ops.sampling import per_sample_uniform_subsets
 
+        if axis_name is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         idx = per_sample_uniform_subsets(rng, x.shape[0], c, k)  # (B, k)
         x_sel = jnp.take_along_axis(x, idx[:, :, None, None], axis=1)
         emb = jnp.take(params["backbone"]["channel_embed"], cids, axis=0)
@@ -90,6 +98,9 @@ def _select_channels(
         toks = per_channel_patch_embed(x, kern, None, patch_size=patch_size)
         toks = jax.lax.stop_gradient(toks)  # reference samples under no_grad
         cos_matrix = batch_cosine_matrix(toks.reshape(x.shape[0], c, -1))
+        if axis_name is not None:
+            # per-shard batch means -> exact global batch mean
+            cos_matrix = jax.lax.pmean(cos_matrix, axis_name)
     needs_embed = method not in (None, "none", "uniform")
     if needs_embed and cos_matrix is None:
         emb = jnp.take(params["backbone"]["channel_embed"], cids, axis=0)
@@ -158,6 +169,33 @@ def _loss_and_metrics(
     return total, metrics
 
 
+def _data_sharded(mesh) -> bool:
+    return mesh is not None and dict(mesh.shape).get("data", 1) > 1
+
+
+def _shard_map_grads(fn, mesh):
+    """Wrap a ``(params, batch, rng) -> (grads, metrics)`` function in
+    ``shard_map`` over the mesh's ``data`` axis.
+
+    Required for multi-chip TPU: GSPMD cannot auto-partition Mosaic
+    kernels (``jax/_src/tpu_custom_call.py`` raises "Mosaic kernels cannot
+    be automatically partitioned. Please wrap ... shard_map"), so the Pallas
+    flash/fused-block kernels must run per data shard with the gradient
+    all-reduce as an explicit ``pmean`` over ICI. The ``model`` (TP) axis
+    stays automatic (``axis_names={'data'}``), so the Megatron shardings of
+    parallel/shardings.py keep working via GSPMD inside each shard."""
+    from jax.sharding import PartitionSpec as P
+
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P()),
+        out_specs=(P(), P()),
+        axis_names={"data"},
+        check_vma=False,
+    )
+
+
 def make_train_step(
     model,
     *,
@@ -174,15 +212,25 @@ def make_train_step(
     miro_ld: float = 0.0,
     augment_fn: Optional[Callable] = None,
     donate: bool = True,
+    mesh=None,
 ) -> Callable[[TrainState, Dict[str, jax.Array], jax.Array], Tuple[TrainState, Dict]]:
     """Fused grad + optimizer update for a single-chunk batch.
 
     ``augment_fn(key, images) -> images`` runs the on-device augmentation
-    pipeline (ops/augment.py) inside the compiled step."""
+    pipeline (ops/augment.py) inside the compiled step. With a ``mesh``
+    whose ``data`` axis is >1, the grad computation runs per data shard
+    under ``shard_map`` (see :func:`_shard_map_grads`); dropout/augment RNG
+    folds the shard index, the channel draw stays globally shared."""
     cids_const = jnp.asarray(tuple(channel_ids), jnp.int32)
+    sharded = _data_sharded(mesh)
+    axis = "data" if sharded else None
 
-    def step(state: TrainState, batch, rng):
+    def grads_and_metrics(params, batch, rng):
         rng_sample, rng_drop, rng_aug = jax.random.split(rng, 3)
+        if sharded:
+            ix = jax.lax.axis_index("data")
+            rng_drop = jax.random.fold_in(rng_drop, ix)
+            rng_aug = jax.random.fold_in(rng_aug, ix)
         x, y = batch["image"], batch["label"]
         if augment_fn is not None:
             x = augment_fn(rng_aug, x)
@@ -190,7 +238,7 @@ def make_train_step(
         def loss_fn(params):
             xs, cs, override = _select_channels(
                 params, x, cids_const, rng_sample, k=k, method=hcs_method,
-                temp=hcs_temp, patch_size=patch_size,
+                temp=hcs_temp, patch_size=patch_size, axis_name=axis,
             )
             return _loss_and_metrics(
                 model, params, xs, cs, y, rng_drop,
@@ -203,13 +251,28 @@ def make_train_step(
                 miro_ld=miro_ld,
             )
 
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(params)
+        if sharded:
+            grads = jax.lax.pmean(grads, "data")
+            metrics = jax.lax.pmean(metrics, "data")
+        return grads, metrics
+
+    gm = _shard_map_grads(grads_and_metrics, mesh) if sharded else grads_and_metrics
+
+    def step(state: TrainState, batch, rng):
+        grads, metrics = gm(state.params, batch, rng)
         metrics["grad_norm"] = optax.global_norm(grads)
         if k is not None and k < len(channel_ids):
-            # channel-usage counter input (dichavit.py:66, :214-216)
+            # channel-usage counter input (dichavit.py:66, :214-216);
+            # reproduces the in-loss selection (same rng_sample, same
+            # augmented view)
+            rng_sample, _, rng_aug = jax.random.split(rng, 3)
+            x_dbg = batch["image"]
+            if augment_fn is not None:
+                x_dbg = augment_fn(rng_aug, x_dbg)
             _, cs_dbg, _ = _select_channels(
-                state.params, x, cids_const, rng_sample, k=k, method=hcs_method,
-                temp=hcs_temp, patch_size=patch_size,
+                state.params, x_dbg, cids_const, rng_sample, k=k,
+                method=hcs_method, temp=hcs_temp, patch_size=patch_size,
             )
             metrics["sampled_channels"] = cs_dbg
         new_state = state.apply_gradients(grads=grads)
@@ -233,17 +296,26 @@ def make_grad_step(
     miro_pre_params=None,
     miro_ld: float = 0.0,
     augment_fn: Optional[Callable] = None,
+    mesh=None,
 ):
     """Per-chunk gradient microbatch: returns (grads, metrics), no update.
 
     One jitted specialization per (chunk, k); the CHAMMI mixed batch loops
     chunks on the host and accumulates with :func:`tree_add`, which equals
     the reference's repeated ``loss.backward()`` (``trainer.py:846-931``).
+    With a data-sharded ``mesh`` the grad computation runs under
+    ``shard_map`` (see :func:`_shard_map_grads`).
     """
     cids_const = jnp.asarray(tuple(channel_ids), jnp.int32)
+    sharded = _data_sharded(mesh)
+    axis = "data" if sharded else None
 
-    def grad_step(params, batch, rng):
+    def grads_and_metrics(params, batch, rng):
         rng_sample, rng_drop, rng_aug = jax.random.split(rng, 3)
+        if sharded:
+            ix = jax.lax.axis_index("data")
+            rng_drop = jax.random.fold_in(rng_drop, ix)
+            rng_aug = jax.random.fold_in(rng_aug, ix)
         x, y = batch["image"], batch["label"]
         if augment_fn is not None:
             x = augment_fn(rng_aug, x)
@@ -251,7 +323,7 @@ def make_grad_step(
         def loss_fn(p):
             xs, cs, override = _select_channels(
                 p, x, cids_const, rng_sample, k=k, method=hcs_method,
-                temp=hcs_temp, patch_size=patch_size,
+                temp=hcs_temp, patch_size=patch_size, axis_name=axis,
             )
             return _loss_and_metrics(
                 model, p, xs, cs, y, rng_drop,
@@ -265,12 +337,25 @@ def make_grad_step(
             )
 
         grads, metrics = jax.grad(loss_fn, has_aux=True)(params)
+        if sharded:
+            grads = jax.lax.pmean(grads, "data")
+            metrics = jax.lax.pmean(metrics, "data")
+        return grads, metrics
+
+    gm = _shard_map_grads(grads_and_metrics, mesh) if sharded else grads_and_metrics
+
+    def grad_step(params, batch, rng):
+        grads, metrics = gm(params, batch, rng)
         if k is not None and k < len(channel_ids):
             # channel-usage counter input on the CHAMMI/mixed path too —
             # the paper's headline diagnostic (dichavit.py:214-216,
             # reference trainer.py:796-804)
+            rng_sample, _, rng_aug = jax.random.split(rng, 3)
+            x_dbg = batch["image"]
+            if augment_fn is not None:
+                x_dbg = augment_fn(rng_aug, x_dbg)
             _, cs_dbg, _ = _select_channels(
-                params, x, cids_const, rng_sample, k=k, method=hcs_method,
+                params, x_dbg, cids_const, rng_sample, k=k, method=hcs_method,
                 temp=hcs_temp, patch_size=patch_size,
             )
             metrics["sampled_channels"] = cs_dbg
@@ -294,26 +379,48 @@ def tree_add(a, b):
     return jax.tree_util.tree_map(jnp.add, a, b)
 
 
-def make_eval_step(model, *, donate: bool = False):
+def make_eval_step(model, *, donate: bool = False, mesh=None):
     """Forward pass at eval: returns the model output (features or logits).
 
     ``channel_embed_override`` carries the synthesized novel-channel
     embeddings of the leave-one-out eval strategies
-    (``channel_vit.py:89-136``).
+    (``channel_vit.py:89-136``). With a data-sharded ``mesh`` the forward
+    runs per shard under ``shard_map`` (Mosaic kernels cannot be
+    GSPMD-partitioned); per-sample (B, k, D) overrides shard with the
+    batch, (C, D) overrides replicate.
     """
+    sharded = _data_sharded(mesh)
 
-    @functools.partial(jax.jit, static_argnames=("use_override",))
-    def eval_step(params, x, cids, override=None, *, use_override=False):
+    def fwd(params, x, cids, override):
         out, _ = model.apply(
-            {"params": params},
-            x,
-            cids,
-            train=False,
-            channel_embed_override=override if use_override else None,
+            {"params": params}, x, cids, train=False,
+            channel_embed_override=override,
         )
         return out
 
+    @functools.partial(jax.jit, static_argnames=("use_override", "per_sample"))
+    def eval_step(params, x, cids, override=None, *, use_override=False,
+                  per_sample=False):
+        ov = override if use_override else None
+        if not sharded:
+            return fwd(params, x, cids, ov)
+        from jax.sharding import PartitionSpec as P
+
+        ov_spec = P("data") if (use_override and per_sample) else P()
+        return jax.shard_map(
+            fwd,
+            mesh=mesh,
+            in_specs=(P(), P("data"), P(), ov_spec),
+            out_specs=P("data"),
+            axis_names={"data"},
+            check_vma=False,
+        )(params, x, cids, ov)
+
     def run(params, x, cids, override=None):
-        return eval_step(params, x, cids, override, use_override=override is not None)
+        return eval_step(
+            params, x, cids, override,
+            use_override=override is not None,
+            per_sample=override is not None and override.ndim == 3,
+        )
 
     return run

@@ -40,7 +40,7 @@ def main():
     b2 = jnp.zeros((D,), jnp.bfloat16)
 
     orig = fb._pick_bm
-    for bm in (104, 208, 416, 832):
+    for bm in (104, 208, 416, 832, 1664):
         fb._pick_bm = lambda n, t, _bm=bm: _bm if n % _bm == 0 else orig(n, t)
 
         def chain(x, w1, w2):
