@@ -53,6 +53,26 @@ class ViTTrunk(nn.Module):
         x = jnp.concatenate([cls, x], axis=1)
         x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
 
+        # pad the token grid ONCE to the flash kernel's preferred multiple
+        # (same policy as channel_vit.py): no per-layer q/k/v re-padding,
+        # padded keys masked via valid_len, and the even/padded length lets
+        # the fused-block path engage on TPU (N+1 is odd otherwise)
+        valid_len = None
+        from ..ops.attention import preferred_pad
+        from ..ops.fused_block import FUSED_BLOCK_DEFAULT, fused_block_available
+
+        n_tok = x.shape[1]
+        n_padded = preferred_pad(n_tok)
+        cap = (
+            1.20
+            if (FUSED_BLOCK_DEFAULT and fused_block_available()
+                and self.dtype == jnp.bfloat16)
+            else 1.08
+        )
+        if n_tok < n_padded <= int(cap * n_tok):
+            x = jnp.pad(x, ((0, 0), (0, n_padded - n_tok), (0, 0)))
+            valid_len = n_tok
+
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
         for i in range(self.depth):
             x = Block(
@@ -65,6 +85,7 @@ class ViTTrunk(nn.Module):
                 attention_impl=self.attention_impl,
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(x, train=train)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
+            )(x, train=train, valid_len=valid_len)
+        # LayerNorm is per-token: norm only the CLS row we read
+        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x[:, :1])
         return x[:, 0].astype(jnp.float32)

@@ -81,6 +81,23 @@ class SlicedPatchVisionTransformer(nn.Module):
         xseq = jnp.concatenate([cls, tokens], axis=1)
         xseq = nn.Dropout(self.drop_rate, deterministic=not train)(xseq)
 
+        # pad once to the flash kernel's preferred multiple (see trunk.py)
+        valid_len = None
+        from ..ops.attention import preferred_pad
+        from ..ops.fused_block import FUSED_BLOCK_DEFAULT, fused_block_available
+
+        n_tok = xseq.shape[1]
+        n_padded = preferred_pad(n_tok)
+        cap = (
+            1.20
+            if (FUSED_BLOCK_DEFAULT and fused_block_available()
+                and self.dtype == jnp.bfloat16)
+            else 1.08
+        )
+        if n_tok < n_padded <= int(cap * n_tok):
+            xseq = jnp.pad(xseq, ((0, 0), (0, n_padded - n_tok), (0, 0)))
+            valid_len = n_tok
+
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
         for i in range(self.depth):
             xseq = Block(
@@ -93,9 +110,10 @@ class SlicedPatchVisionTransformer(nn.Module):
                 attention_impl=self.attention_impl,
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(xseq, train=train)
+            )(xseq, train=train, valid_len=valid_len)
 
-        xseq = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(xseq)
+        # LayerNorm is per-token: norm only the CLS row we read
+        xseq = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(xseq[:, :1])
         return xseq[:, 0].astype(jnp.float32), jnp.float32(0.0)
 
 
