@@ -195,6 +195,39 @@ def test_block_fused_equals_unfused():
     assert all(n > 0 for n in norms)
 
 
+def test_blockstack_scan_composes_with_fused_path():
+    """nn.scan (BlockStack) over the fused Block: the traced drop-path
+    override forces the non-fused-residual variant; outputs match the
+    unrolled unfused stack within bf16 tolerance."""
+    from diverse_channel_vit_tpu.models.vit import Block, BlockStack
+
+    x = (jax.random.normal(jax.random.key(11), (2, 64, 128)) * 0.5).astype(jnp.bfloat16)
+
+    fb.FORCE_ON_CPU = True
+    stack = BlockStack(depth=2, num_heads=2, dtype=jnp.bfloat16, remat=True)
+    p = stack.init({"params": jax.random.key(0)}, x, train=False)["params"]
+    out_fused = stack.apply({"params": p}, x, train=False)
+
+    fb.FORCE_ON_CPU = False
+    out_unfused = stack.apply({"params": p}, x, train=False)
+    assert _rel(out_fused, out_unfused) < 3e-2
+
+    # grads flow through scan + remat + fused custom-vjp ops
+    fb.FORCE_ON_CPU = True
+
+    def loss(p):
+        return jnp.sum(
+            stack.apply({"params": p}, x, train=True,
+                        rngs={"dropout": jax.random.key(1)}).astype(jnp.float32) ** 2
+        )
+
+    g = jax.grad(loss)(p)
+    assert all(
+        float(jnp.linalg.norm(l.astype(jnp.float32))) > 0
+        for l in jax.tree_util.tree_leaves(g)
+    )
+
+
 def test_block_fused_gate_conditions():
     """The fused path must decline: CPU w/o force, non-bf16, odd sequence,
     active prob-dropout in train."""
