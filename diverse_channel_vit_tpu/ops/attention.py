@@ -15,13 +15,13 @@ Kernel design (sized for this workload: N <= ~2.5k tokens, head_dim 64):
   (grid (B*H, N/128, N/128) = 65k tiny programs) was DMA-latency-bound and
   ran 35x slower on a v5e. This design also beats jax's official pallas
   flash kernel by ~8x at this geometry (33 ms/layer vs 4.1, measured).
-- **Head packing.** At head_dim 64 every matmul runs the MXU at <=50%
-  (contraction or output width 64); packing `hp` heads per program as one
-  *batched* dot_general keeps the MXU pipeline busier. Measured on v5e-1
-  at N=1569: fwd 4.87 -> 4.07 ms/layer with hp=3, bwd 9.31 -> 8.86 with
-  hp=2 (hp is VMEM-bounded in the bwd: p and ds both live as f32).
-- **K/V fetched once per program row-sweep.** Grid (B*H/hp, q-blocks) with
-  the q index innermost and K/V index maps constant in it.
+- **Lane-packed layout.** q/k/v stay (B, N, H*dh) — the projections'
+  natural GEMM output — and heads are static 64-lane slices inside the
+  kernel, so there are ZERO layout copies around the pallas calls
+  (an earlier (B*H, N, dh) kernel family cost 47.6 ms/step in XLA
+  transposes and was deleted once this matched its speed).
+- **K/V fetched once per program row-sweep.** Grid (B, q-blocks) with the
+  q index innermost and K/V index maps constant in it.
 - fp32 scores/softmax on the VPU, bf16 MXU matmuls with
   ``preferred_element_type=f32``; padding minimizes n_pad^2. (Measured:
   the kernel is NOT exp-bound — deleting the exp entirely does not move
@@ -34,7 +34,7 @@ Kernel design (sized for this workload: N <= ~2.5k tokens, head_dim 64):
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -82,13 +82,6 @@ def _pick_block_q(n: int, *, hp: int = 1, budget: int = _FWD_SCORE_BYTES) -> int
     return best
 
 
-def _pick_h_pack(bh: int, *, max_hp: int) -> int:
-    for hp in range(max_hp, 1, -1):
-        if bh % hp == 0:
-            return hp
-    return 1
-
-
 def preferred_pad(n: int) -> int:
     """Token count the model should pad to so per-layer padding is a no-op."""
     if jax.default_backend() in ("cpu",) or pltpu is None or n > MAX_SINGLE_PASS_N:
@@ -116,203 +109,6 @@ def xla_attention(
         s = jnp.where(mask[None, None, None, :], s, MASK_VALUE)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
-
-
-# ---------------------------------------------------------------------------
-# Pallas forward — single-pass softmax, resident K/V, hp heads per program
-# ---------------------------------------------------------------------------
-
-
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, n_valid):
-    q = q_ref[...]  # (hp, bq, dh)
-    k = k_ref[...]  # (hp, n, dh)
-    s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # (hp, bq, n)
-    if sm_scale != 1.0:
-        s = s * sm_scale
-    if n_valid < s.shape[-1]:
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        s = jnp.where(col_ids < n_valid, s, MASK_VALUE)
-
-    m = jnp.max(s, axis=2, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=2, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[...], (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[...] = (o / l).astype(o_ref.dtype)
-
-
-def _flash_fwd_impl(q, k, v, sm_scale: float, n_valid: int, block_q: int, hp: int):
-    """No lse output: the fused bwd recomputes max/sum alongside the scores
-    it recomputes anyway (the extra VPU reductions hide behind the MXU —
-    measured: deleting the whole softmax chain doesn't move the fwd kernel),
-    which kills the lse round-trip and its thin-array HBM layout cost."""
-    bh, n, dh = q.shape
-    nq = n // block_q
-    kernel = functools.partial(_fwd_kernel, sm_scale=sm_scale, n_valid=n_valid)
-    o = pl.pallas_call(
-        kernel,
-        grid=(bh // hp, nq),
-        in_specs=[
-            pl.BlockSpec((hp, block_q, dh), lambda b, qi: (b, qi, 0)),
-            pl.BlockSpec((hp, n, dh), lambda b, qi: (b, 0, 0)),  # resident
-            pl.BlockSpec((hp, n, dh), lambda b, qi: (b, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((hp, block_q, dh), lambda b, qi: (b, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, n, dh), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * bh * n * n * dh,
-            bytes_accessed=bh * n * dh * 2 * 4,
-            transcendentals=bh * n * n,
-        ),
-        interpret=INTERPRET,
-    )(q, k, v)
-    return o
-
-
-# ---------------------------------------------------------------------------
-# Pallas backward: one fused q-block sweep emits dq and accumulates dk/dv
-# ---------------------------------------------------------------------------
-
-
-def _bwd_fused_kernel(
-    q_ref, k_ref, v_ref, do_ref, o_ref,
-    dq_ref, dk_ref, dv_ref, dk_scr, dv_scr,
-    *, sm_scale, n_valid, n_q_blocks,
-):
-    """One pass per q-block: emits the dq block and accumulates dk/dv in
-    fp32 VMEM scratch across the sequential q sweep (dk/dv blocks are
-    revisited — index maps constant in qi). Recomputes the softmax (max/sum
-    included — no lse residual) and di = rowsum(o * do) in VMEM; drops two
-    matmuls vs separate dq / dkv kernels."""
-    qi = pl.program_id(1)
-
-    @pl.when(qi == 0)
-    def _init():
-        dk_scr[...] = jnp.zeros_like(dk_scr)
-        dv_scr[...] = jnp.zeros_like(dv_scr)
-
-    q = q_ref[...]   # (hp, bq, dh)
-    k = k_ref[...]   # (hp, n, dh)
-    v = v_ref[...]
-    do = do_ref[...]
-    s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # (hp, bq, n)
-    if sm_scale != 1.0:
-        s = s * sm_scale
-    if n_valid < s.shape[-1]:
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        s = jnp.where(col_ids < n_valid, s, MASK_VALUE)
-    m = jnp.max(s, axis=2, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=2, keepdims=True)  # == exp(s - lse) exactly
-    di = jnp.sum(
-        o_ref[...].astype(jnp.float32) * do.astype(jnp.float32), axis=2, keepdims=True
-    )  # (hp, bq, 1)
-    dp = jax.lax.dot_general(
-        do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # (hp, bq, n)
-    ds = p * (dp - di) * sm_scale
-    dsb = ds.astype(q.dtype)
-    pb = p.astype(do.dtype)
-    dq_ref[...] = jax.lax.dot_general(
-        dsb, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ).astype(dq_ref.dtype)
-    dk_scr[...] += jax.lax.dot_general(
-        dsb, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # (hp, n, dh)
-    dv_scr[...] += jax.lax.dot_general(
-        pb, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )
-
-    @pl.when(qi == n_q_blocks - 1)
-    def _store():
-        dk_ref[...] = dk_scr[...].astype(dk_ref.dtype)
-        dv_ref[...] = dv_scr[...].astype(dv_ref.dtype)
-
-
-def _flash_bwd_impl(q, k, v, o, do, sm_scale, n_valid, block_q_fwd):
-    bh, n, dh = q.shape
-    hp = _pick_h_pack(bh, max_hp=2)
-    block_q = _pick_block_q(n, hp=hp, budget=_BWD_SCORE_BYTES)
-    nq = n // block_q
-
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(
-            _bwd_fused_kernel, sm_scale=sm_scale, n_valid=n_valid, n_q_blocks=nq
-        ),
-        grid=(bh // hp, nq),
-        in_specs=[
-            pl.BlockSpec((hp, block_q, dh), lambda b, qi: (b, qi, 0)),  # q
-            pl.BlockSpec((hp, n, dh), lambda b, qi: (b, 0, 0)),  # k resident
-            pl.BlockSpec((hp, n, dh), lambda b, qi: (b, 0, 0)),  # v resident
-            pl.BlockSpec((hp, block_q, dh), lambda b, qi: (b, qi, 0)),  # do
-            pl.BlockSpec((hp, block_q, dh), lambda b, qi: (b, qi, 0)),  # o
-        ],
-        out_specs=[
-            pl.BlockSpec((hp, block_q, dh), lambda b, qi: (b, qi, 0)),  # dq
-            pl.BlockSpec((hp, n, dh), lambda b, qi: (b, 0, 0)),  # dk (revisited)
-            pl.BlockSpec((hp, n, dh), lambda b, qi: (b, 0, 0)),  # dv (revisited)
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, n, dh), q.dtype),
-            jax.ShapeDtypeStruct((bh, n, dh), q.dtype),
-            jax.ShapeDtypeStruct((bh, n, dh), q.dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((hp, n, dh), jnp.float32),
-            pltpu.VMEM((hp, n, dh), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=10 * bh * n * n * dh,
-            bytes_accessed=bh * n * dh * 2 * 6,
-            transcendentals=bh * n * n,
-        ),
-        interpret=INTERPRET,
-    )(q, k, v, do, o)
-    return dq, dk, dv
-
-
-def _fwd_packing(bh: int, n: int, block_q: int) -> Tuple[int, int]:
-    """(hp, block_q) for the forward kernel; hp requires bh % hp == 0 and
-    the score block within budget."""
-    for hp in (3, 2, 1):
-        if bh % hp:
-            continue
-        if hp * block_q * n * 4 <= _FWD_SCORE_BYTES or hp == 1:
-            return hp, block_q
-    return 1, block_q
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash(q, k, v, sm_scale, n_valid, block_q):
-    hp, bq = _fwd_packing(q.shape[0], q.shape[1], block_q)
-    return _flash_fwd_impl(q, k, v, sm_scale, n_valid, bq, hp)
-
-
-def _flash_vjp_fwd(q, k, v, sm_scale, n_valid, block_q):
-    hp, bq = _fwd_packing(q.shape[0], q.shape[1], block_q)
-    o = _flash_fwd_impl(q, k, v, sm_scale, n_valid, bq, hp)
-    return o, (q, k, v, o)
-
-
-def _flash_vjp_bwd(sm_scale, n_valid, block_q, res, do):
-    q, k, v, o = res
-    dq, dk, dv = _flash_bwd_impl(q, k, v, o, do, sm_scale, n_valid, block_q)
-    return dq, dk, dv
-
-
-_flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -561,63 +357,24 @@ def multi_head_attention_packed(
     return o.transpose(0, 2, 1, 3).reshape(b, n, d)
 
 
-def flash_attention_bnhd(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    sm_scale: Optional[float] = None,
-    valid_len: Optional[int] = None,
-    block_q: Optional[int] = None,
-) -> jax.Array:
-    """Flash attention over (B, N, H, Dh); pads N to a block multiple.
-
-    Internally transposes to the (B*H, N, dh) layout Mosaic tiles best (a
-    BNHD-native kernel hit "unsupported shape cast" relayouts). Measured on
-    the v5e: inside a full jit these transposes cost ~0.2 ms/layer — XLA
-    folds them into neighbouring op layouts; ``valid_len`` masks key
-    positions >= valid_len.
-    """
-    b, n, h, dh = q.shape
-    if sm_scale is None:
-        sm_scale = dh**-0.5
-    n_valid = n if valid_len is None else int(valid_len)
-    if block_q is None:
-        block_q = _pick_block_q(n)
-    n_pad = _cdiv(n, block_q) * block_q
-    qf = q.transpose(0, 2, 1, 3).reshape(b * h, n, dh)
-    kf = k.transpose(0, 2, 1, 3).reshape(b * h, n, dh)
-    vf = v.transpose(0, 2, 1, 3).reshape(b * h, n, dh)
-    if n_pad != n:
-        pad = ((0, 0), (0, n_pad - n), (0, 0))
-        qf, kf, vf = jnp.pad(qf, pad), jnp.pad(kf, pad), jnp.pad(vf, pad)
-    o = _flash(qf, kf, vf, float(sm_scale), n_valid, block_q)
-    return o[:, :n].reshape(b, h, n, dh).transpose(0, 2, 1, 3)
-
-
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     sm_scale: Optional[float] = None,
-    block_q: Optional[int] = None,
     valid_len: Optional[int] = None,
 ) -> jax.Array:
-    """(B, H, N, Dh) wrapper."""
+    """(B, H, N, Dh) convenience wrapper over the lane-packed kernel.
+
+    The production modules use the packed (B, N, H*dh) layout directly
+    (:func:`flash_attention_packed` / ops/fused_block.py) — this wrapper is
+    the generic public API; its transposes fold into neighbouring ops."""
     b, h, n, dh = q.shape
-    if sm_scale is None:
-        sm_scale = dh**-0.5
-    n_valid = n if valid_len is None else int(valid_len)
-    if block_q is None:
-        block_q = _pick_block_q(n)
-    n_pad = _cdiv(n, block_q) * block_q
-    qf = q.reshape(b * h, n, dh)
-    kf = k.reshape(b * h, n, dh)
-    vf = v.reshape(b * h, n, dh)
-    if n_pad != n:
-        pad = ((0, 0), (0, n_pad - n), (0, 0))
-        qf, kf, vf = jnp.pad(qf, pad), jnp.pad(kf, pad), jnp.pad(vf, pad)
-    o = _flash(qf, kf, vf, float(sm_scale), n_valid, block_q)
-    return o[:, :n].reshape(b, h, n, dh)
+    qp = q.transpose(0, 2, 1, 3).reshape(b, n, h * dh)
+    kp = k.transpose(0, 2, 1, 3).reshape(b, n, h * dh)
+    vp = v.transpose(0, 2, 1, 3).reshape(b, n, h * dh)
+    o = flash_attention_packed(qp, kp, vp, h, sm_scale, valid_len)
+    return o.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
 
 
 def multi_head_attention(
@@ -636,25 +393,3 @@ def multi_head_attention(
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
     return xla_attention(q, k, v, sm_scale, valid_len=valid_len)
-
-
-def multi_head_attention_bnhd(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    sm_scale: Optional[float] = None,
-    impl: str = "auto",
-    valid_len: Optional[int] = None,
-) -> jax.Array:
-    """(B, N, H, Dh) dispatch — the transpose-free fast path for modules."""
-    if impl == "auto":
-        impl = "pallas" if jax.default_backend() not in ("cpu",) and pltpu is not None else "xla"
-    if impl == "pallas" and q.shape[1] <= MAX_SINGLE_PASS_N:
-        return flash_attention_bnhd(q, k, v, sm_scale, valid_len)
-    if sm_scale is None:
-        sm_scale = q.shape[-1] ** -0.5
-    o = xla_attention(
-        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
-        sm_scale, valid_len=valid_len,
-    )
-    return o.transpose(0, 2, 1, 3)

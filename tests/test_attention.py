@@ -61,42 +61,40 @@ class TestBackward:
         assert np.isfinite(np.asarray(g)).all()
 
 
-def test_flash_bnhd_valid_len_matches_xla_mask():
+def test_flash_packed_valid_len_matches_xla_mask():
     """Padded key positions masked via valid_len must match XLA with the
-    same mask, for both forward and gradients (valid region only)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
+    same mask, for both forward and gradients (valid region only) — through
+    the lane-packed (B, N, H*dh) kernel."""
     from diverse_channel_vit_tpu.ops import attention as A
 
     b, n_valid, n_pad, h, dh = 2, 100, 128, 3, 16
-    key = jax.random.key(0)
-    q = jax.random.normal(key, (b, n_pad, h, dh))
-    k = jax.random.normal(jax.random.key(1), (b, n_pad, h, dh))
-    v = jax.random.normal(jax.random.key(2), (b, n_pad, h, dh))
+    d = h * dh
+    q = jax.random.normal(jax.random.key(0), (b, n_pad, d))
+    k = jax.random.normal(jax.random.key(1), (b, n_pad, d))
+    v = jax.random.normal(jax.random.key(2), (b, n_pad, d))
 
-    out = A.flash_attention_bnhd(q, k, v, valid_len=n_valid, block_q=128)
-    ref = A.xla_attention(
-        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
-        dh**-0.5, valid_len=n_valid,
-    ).transpose(0, 2, 1, 3)
+    def ref_fn(q, k, v):
+        qh, kh, vh = (
+            t.reshape(b, n_pad, h, dh).transpose(0, 2, 1, 3) for t in (q, k, v)
+        )
+        o = A.xla_attention(qh, kh, vh, dh**-0.5, valid_len=n_valid)
+        return o.transpose(0, 2, 1, 3).reshape(b, n_pad, d)
+
+    out = A.flash_attention_packed(q, k, v, h, valid_len=n_valid)
+    ref = ref_fn(q, k, v)
     np.testing.assert_allclose(
         np.asarray(out[:, :n_valid]), np.asarray(ref[:, :n_valid]), atol=2e-5
     )
 
-    def loss_flash(q, k, v):
-        o = A.flash_attention_bnhd(q, k, v, valid_len=n_valid, block_q=128)
-        return jnp.sum(o[:, :n_valid] ** 2)
-
-    def loss_ref(q, k, v):
-        o = A.xla_attention(
-            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
-            dh**-0.5, valid_len=n_valid,
-        ).transpose(0, 2, 1, 3)
-        return jnp.sum(o[:, :n_valid] ** 2)
-
-    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
-    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g1 = jax.grad(
+        lambda *a: jnp.sum(
+            A.flash_attention_packed(*a, h, valid_len=n_valid)[:, :n_valid] ** 2
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g2 = jax.grad(
+        lambda *a: jnp.sum(ref_fn(*a)[:, :n_valid] ** 2), argnums=(0, 1, 2)
+    )(q, k, v)
     for a, bb in zip(g1, g2):
         np.testing.assert_allclose(
             np.asarray(a[:, :n_valid]), np.asarray(bb[:, :n_valid]), atol=3e-4
