@@ -228,25 +228,9 @@ class ChannelVisionTransformer(nn.Module):
         # (skipped under EViT: its dense attention has no key masking)
         valid_len = None
         if self.block_type == "block" and not evit_on:
-            from ..ops.attention import preferred_pad
+            from ..ops.attention import maybe_pad_tokens
 
-            n_tok = xseq.shape[1]
-            n_padded = preferred_pad(n_tok)
-            # only worth it when the dense-layer overhead stays small; the
-            # fused-block path (TPU bf16, padded/even seq only) gains enough
-            # on the dense side to justify a wider cap (k=3/6 HCS draws pad
-            # at 1.086/1.088)
-            from ..ops.fused_block import FUSED_BLOCK_DEFAULT, fused_block_available
-
-            cap = (
-                1.20
-                if (FUSED_BLOCK_DEFAULT and fused_block_available()
-                    and self.dtype == jnp.bfloat16)
-                else 1.08
-            )
-            if n_tok < n_padded <= int(cap * n_tok):
-                xseq = jnp.pad(xseq, ((0, 0), (0, n_padded - n_tok), (0, 0)))
-                valid_len = n_tok
+            xseq, valid_len = maybe_pad_tokens(xseq, self.dtype)
 
         if self.scan_blocks and self.block_type == "block" and not evit_on:
             from .vit import BlockStack

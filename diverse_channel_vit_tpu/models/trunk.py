@@ -57,21 +57,9 @@ class ViTTrunk(nn.Module):
         # (same policy as channel_vit.py): no per-layer q/k/v re-padding,
         # padded keys masked via valid_len, and the even/padded length lets
         # the fused-block path engage on TPU (N+1 is odd otherwise)
-        valid_len = None
-        from ..ops.attention import preferred_pad
-        from ..ops.fused_block import FUSED_BLOCK_DEFAULT, fused_block_available
+        from ..ops.attention import maybe_pad_tokens
 
-        n_tok = x.shape[1]
-        n_padded = preferred_pad(n_tok)
-        cap = (
-            1.20
-            if (FUSED_BLOCK_DEFAULT and fused_block_available()
-                and self.dtype == jnp.bfloat16)
-            else 1.08
-        )
-        if n_tok < n_padded <= int(cap * n_tok):
-            x = jnp.pad(x, ((0, 0), (0, n_padded - n_tok), (0, 0)))
-            valid_len = n_tok
+        x, valid_len = maybe_pad_tokens(x, self.dtype)
 
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
         for i in range(self.depth):

@@ -82,21 +82,9 @@ class SlicedPatchVisionTransformer(nn.Module):
         xseq = nn.Dropout(self.drop_rate, deterministic=not train)(xseq)
 
         # pad once to the flash kernel's preferred multiple (see trunk.py)
-        valid_len = None
-        from ..ops.attention import preferred_pad
-        from ..ops.fused_block import FUSED_BLOCK_DEFAULT, fused_block_available
+        from ..ops.attention import maybe_pad_tokens
 
-        n_tok = xseq.shape[1]
-        n_padded = preferred_pad(n_tok)
-        cap = (
-            1.20
-            if (FUSED_BLOCK_DEFAULT and fused_block_available()
-                and self.dtype == jnp.bfloat16)
-            else 1.08
-        )
-        if n_tok < n_padded <= int(cap * n_tok):
-            xseq = jnp.pad(xseq, ((0, 0), (0, n_padded - n_tok), (0, 0)))
-            valid_len = n_tok
+        xseq, valid_len = maybe_pad_tokens(xseq, self.dtype)
 
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
         for i in range(self.depth):

@@ -34,7 +34,7 @@ Kernel design (sized for this workload: N <= ~2.5k tokens, head_dim 64):
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -88,6 +88,31 @@ def preferred_pad(n: int) -> int:
         return n
     block_q = _pick_block_q(n)
     return _cdiv(n, block_q) * block_q
+
+
+def maybe_pad_tokens(xseq: jax.Array, dtype) -> Tuple[jax.Array, Optional[int]]:
+    """Pad a (B, N, D) token grid ONCE to the flash kernel's preferred
+    multiple, so no layer re-pads q/k/v; padded keys are masked downstream
+    via the returned ``valid_len``.
+
+    Only pads when the dense-layer overhead stays small; the fused-block
+    path (TPU bf16, padded/even sequence only) gains enough on the dense
+    side to justify a wider cap (the k=3/6 HCS draws pad at 1.086/1.088).
+    Returns ``(xseq, valid_len)`` with ``valid_len=None`` when unpadded.
+    """
+    from . import fused_block as _fb  # circular-at-import, fine at call time
+
+    n_tok = xseq.shape[1]
+    n_padded = preferred_pad(n_tok)
+    cap = (
+        1.20
+        if (_fb.FUSED_BLOCK_DEFAULT and _fb.fused_block_available()
+            and dtype == jnp.bfloat16)
+        else 1.08
+    )
+    if n_tok < n_padded <= int(cap * n_tok):
+        return jnp.pad(xseq, ((0, 0), (0, n_padded - n_tok), (0, 0))), n_tok
+    return xseq, None
 
 
 # ---------------------------------------------------------------------------

@@ -6,15 +6,18 @@ HBM-traffic-bound — LayerNorm stats/normalize passes, the fc1 intermediate
 (327 MB/layer round trip), and three narrow qkv GEMMs where one wide GEMM
 runs measurably faster. Two ops close that:
 
-- :func:`qkv_project_attend` — ``flash(split(y @ W_qkv + b))`` as ONE
-  custom-vjp op. The forward runs a single (D, 3D) projection (a 1152-wide
-  GEMM beats three 384-wide ones by ~0.75 ms/layer, measured) and the flash
-  kernel reads q/k/v as *lane-block views* of the packed output via
-  BlockSpec index maps — zero slicing copies. The backward keeps the fast
-  decomposition: the 3-output flash backward kernel (ops/attention.py) plus
-  three narrow dX/dW GEMMs (a single-buffer d(qkv) variant was measured
-  SLOWER — 188 vs 168 ms/12 f+b — and an LN+qkv fused kernel lost to XLA's
-  own LN+GEMM pipeline, 38.6 vs 27.6 ms/12; both were dropped).
+- :func:`attend_project` — ``[x +] proj(flash(split(y @ W_qkv + b)))`` as
+  ONE custom-vjp op. The forward runs a single (D, 3D) projection (a
+  1152-wide GEMM beats three 384-wide ones by ~0.75 ms/layer, measured),
+  then flash + output projection + residual add in one Pallas kernel pair:
+  the flash kernel reads q/k/v as *lane-block views* of the packed qkv via
+  BlockSpec index maps (zero slicing copies) and the in-kernel proj GEMM
+  runs ~2x XLA's MFU at this shape. The backward keeps the fast
+  decomposition — the 3-output flash backward kernel plus three narrow
+  dX/dW GEMMs — and accumulates proj/bias grads as per-batch-row partials
+  (a single-buffer d(qkv) variant was measured SLOWER — 188 vs 168 ms/12
+  f+b — and an LN+qkv fused kernel lost to XLA's own LN+GEMM pipeline,
+  38.6 vs 27.6 ms/12; both were dropped).
 - :func:`ln_mlp` — LayerNorm + fc1 + tanh-GELU + fc2 (+ optional fused
   residual add) in one VMEM pass per row block; the (bm, 4D) intermediate
   never touches HBM. Measured 65.1 vs 69.0 ms/12 f+b against the XLA
@@ -311,165 +314,10 @@ def _ln_mlp_vjp_bwd(residual, res, do):
 ln_mlp.defvjp(_ln_mlp_vjp_fwd, _ln_mlp_vjp_bwd)
 
 
-# ---------------------------------------------------------------------------
-# qkv_project_attend: one wide qkv GEMM + flash over lane-block views
-# ---------------------------------------------------------------------------
-
-
-def _flash3_fwd_impl(qkv, num_heads, sm_scale, n_valid, block_q):
-    """Lane-packed flash forward reading q/k/v as 384-lane-block views of the
-    packed (B, N, 3D) array (BlockSpec index maps (b,qi,0)/(b,0,1)/(b,0,2))."""
-    b, n, d3 = qkv.shape
-    d = d3 // 3
-    nq = n // block_q
-    kernel = functools.partial(
-        _attn._packed_fwd_kernel, num_heads=num_heads, sm_scale=sm_scale,
-        n_valid=n_valid,
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=(b, nq),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),
-            pl.BlockSpec((1, n, d), lambda b_, qi: (b_, 0, 1)),  # k view, resident
-            pl.BlockSpec((1, n, d), lambda b_, qi: (b_, 0, 2)),  # v view, resident
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
-        compiler_params=None if pltpu is None else pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * n * n * d,
-            bytes_accessed=b * n * d * 2 * 4,
-            transcendentals=b * n * n * num_heads,
-        ),
-        interpret=_interpret(),
-    )(qkv, qkv, qkv)
-
-
-def _flash3_bwd_impl(qkv, o, do, num_heads, sm_scale, n_valid):
-    """Backward over the packed views; emits separate dq/dk/dv (measured
-    faster than writing one packed d(qkv) buffer: 168 vs 188 ms/12)."""
-    b, n, d3 = qkv.shape
-    d = d3 // 3
-    block_q = _attn._pick_block_q(n, hp=2, budget=_attn._BWD_SCORE_BYTES)
-    nq = n // block_q
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(
-            _attn._packed_bwd_kernel, num_heads=num_heads, sm_scale=sm_scale,
-            n_valid=n_valid, n_q_blocks=nq,
-        ),
-        grid=(b, nq),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),  # q view
-            pl.BlockSpec((1, n, d), lambda b_, qi: (b_, 0, 1)),  # k view resident
-            pl.BlockSpec((1, n, d), lambda b_, qi: (b_, 0, 2)),  # v view resident
-            pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),  # do
-            pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),  # o
-        ],
-        out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),  # dq
-            pl.BlockSpec((1, n, d), lambda b_, qi: (b_, 0, 0)),  # dk (revisited)
-            pl.BlockSpec((1, n, d), lambda b_, qi: (b_, 0, 0)),  # dv (revisited)
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
-            jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
-            jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
-        ],
-        scratch_shapes=[] if pltpu is None else [
-            pltpu.VMEM((n, d), jnp.float32),
-            pltpu.VMEM((n, d), jnp.float32),
-        ],
-        compiler_params=None if pltpu is None else pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=10 * b * n * n * d,
-            bytes_accessed=b * n * d * 2 * 6,
-            transcendentals=b * n * n * num_heads,
-        ),
-        interpret=_interpret(),
-    )(qkv, qkv, qkv, do, o)
-    return dq, dk, dv
-
-
 def _project(y, w, b):
     qkv = jnp.einsum("bnd,df->bnf", y, w, preferred_element_type=jnp.float32)
     return (qkv + b.astype(jnp.float32)).astype(y.dtype)
 
-
-def _qpa_fwd(y, w, b, num_heads, sm_scale, n_valid, block_q):
-    qkv = _project(y, w, b)
-    o = _flash3_fwd_impl(qkv, num_heads, sm_scale, n_valid, block_q)
-    return o, qkv
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _qpa(y, w, b, num_heads, sm_scale, n_valid, block_q):
-    o, _ = _qpa_fwd(y, w, b, num_heads, sm_scale, n_valid, block_q)
-    return o
-
-
-def _qpa_vjp_fwd(y, w, b, num_heads, sm_scale, n_valid, block_q):
-    o, qkv = _qpa_fwd(y, w, b, num_heads, sm_scale, n_valid, block_q)
-    return o, (y, w, qkv, o)
-
-
-def _qpa_vjp_bwd(num_heads, sm_scale, n_valid, block_q, res, do):
-    y, w, qkv, o = res
-    d = y.shape[-1]
-    dq, dk, dv = _flash3_bwd_impl(qkv, o, do, num_heads, sm_scale, n_valid)
-    # three narrow GEMMs against the weight column blocks (the packed
-    # single-GEMM variant needs a d(qkv) concat copy — measured slower)
-    dy = (
-        jnp.einsum("bnf,df->bnd", dq, w[:, :d])
-        + jnp.einsum("bnf,df->bnd", dk, w[:, d:2 * d])
-        + jnp.einsum("bnf,df->bnd", dv, w[:, 2 * d:])
-    )
-    dw = jnp.concatenate(
-        [
-            jnp.einsum("bnd,bnf->df", y, g, preferred_element_type=jnp.float32)
-            for g in (dq, dk, dv)
-        ],
-        axis=1,
-    ).astype(w.dtype)
-    db = jnp.concatenate(
-        [jnp.sum(g.astype(jnp.float32), axis=(0, 1)) for g in (dq, dk, dv)]
-    ).astype(w.dtype)
-    return dy, dw, db
-
-
-_qpa.defvjp(_qpa_vjp_fwd, _qpa_vjp_bwd)
-
-
-def qkv_project_attend(
-    y: jax.Array,
-    w: jax.Array,
-    b: jax.Array,
-    num_heads: int,
-    sm_scale: Optional[float] = None,
-    valid_len: Optional[int] = None,
-) -> jax.Array:
-    """flash_attention(split(y @ w + b)) — one wide qkv GEMM, zero copies.
-
-    y: (B, N, D) post-LN activations; w: (D, 3D) packed [Wq|Wk|Wv];
-    b: (3D,). Returns (B, N, D). Pads N to a q-block multiple (a no-op when
-    the model padded via ops.attention.preferred_pad)."""
-    bsz, n, d = y.shape
-    dh = d // num_heads
-    if sm_scale is None:
-        sm_scale = dh**-0.5
-    n_valid = n if valid_len is None else int(valid_len)
-    block_q = _attn._pick_block_q(n, hp=2, budget=_attn._FWD_SCORE_BYTES)
-    n_pad = -(-n // block_q) * block_q
-    if n_pad != n:
-        y = jnp.pad(y, ((0, 0), (0, n_pad - n), (0, 0)))
-    o = _qpa(y, w, b, num_heads, float(sm_scale), n_valid, block_q)
-    return o[:, :n]
 
 
 # ---------------------------------------------------------------------------

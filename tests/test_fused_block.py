@@ -10,8 +10,8 @@ from diverse_channel_vit_tpu.ops import fused_block as fb
 from diverse_channel_vit_tpu.ops.attention import xla_attention
 from diverse_channel_vit_tpu.ops.fused_block import (
     _gelu_tanh_f32,
+    attend_project,
     ln_mlp,
-    qkv_project_attend,
 )
 
 B, N, D, H = 2, 128, 128, 2
@@ -71,31 +71,6 @@ def test_ln_mlp_matches_xla_composition(residual):
         assert _rel(a, b) < 1e-4
 
 
-def test_qkv_project_attend_matches_xla():
-    key = jax.random.key(2)
-    y = jax.random.normal(jax.random.fold_in(key, 1), (B, N, D), jnp.float32)
-    w = _mk(jax.random.fold_in(key, 2), (D, 3 * D), jnp.float32, scale=0.2)
-    b = _mk(jax.random.fold_in(key, 3), (3 * D,), jnp.float32, scale=0.2)
-    valid = N - 5
-    dh = D // H
-
-    def ref(y, w, b):
-        qkv = y @ w + b
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        qh, kh, vh = (t.reshape(B, N, H, dh).transpose(0, 2, 1, 3) for t in (q, k, v))
-        o = xla_attention(qh, kh, vh, dh**-0.5, valid_len=valid)
-        return o.transpose(0, 2, 1, 3).reshape(B, N, D)
-
-    got = qkv_project_attend(y, w, b, H, valid_len=valid)
-    assert _rel(got, ref(y, w, b)) < 1e-5
-
-    g1 = jax.grad(lambda *a: jnp.sum(qkv_project_attend(*a, H, valid_len=valid) ** 2),
-                  argnums=(0, 1, 2))(y, w, b)
-    g2 = jax.grad(lambda *a: jnp.sum(ref(*a) ** 2), argnums=(0, 1, 2))(y, w, b)
-    for a_, b_ in zip(g1, g2):
-        assert _rel(a_, b_) < 1e-4
-
-
 @pytest.mark.parametrize("with_residual", [False, True])
 def test_attend_project_matches_xla(with_residual):
     from diverse_channel_vit_tpu.ops.fused_block import attend_project
@@ -141,21 +116,23 @@ def test_attend_project_matches_xla(with_residual):
         assert _rel(a_, b_) < 1e-4, nm
 
 
-def test_qkv_project_attend_pads_ragged_n():
+def test_attend_project_pads_ragged_n():
     """N not a q-block multiple: the op pads internally and slices back."""
     key = jax.random.key(4)
     n = 72
     y = jax.random.normal(jax.random.fold_in(key, 1), (1, n, D), jnp.float32)
     w = _mk(jax.random.fold_in(key, 2), (D, 3 * D), jnp.float32, scale=0.2)
     b = jnp.zeros((3 * D,))
+    wp = _mk(jax.random.fold_in(key, 3), (D, D), jnp.float32, scale=0.2)
+    bp = jnp.zeros((D,))
     dh = D // H
 
     qkv = y @ w + b
     q, k, v = jnp.split(qkv, 3, axis=-1)
     qh, kh, vh = (t.reshape(1, n, H, dh).transpose(0, 2, 1, 3) for t in (q, k, v))
-    want = xla_attention(qh, kh, vh, dh**-0.5, valid_len=n)
-    want = want.transpose(0, 2, 1, 3).reshape(1, n, D)
-    got = qkv_project_attend(y, w, b, H)
+    o = xla_attention(qh, kh, vh, dh**-0.5, valid_len=n)
+    want = o.transpose(0, 2, 1, 3).reshape(1, n, D) @ wp + bp
+    got = attend_project(y, w, b, wp, bp, None, H)
     assert got.shape == (1, n, D)
     assert _rel(got, want) < 1e-5
 
