@@ -316,6 +316,22 @@ class ChannelVisionTransformer(nn.Module):
         return cls_out[:, 0].astype(jnp.float32), extra_loss
 
 
+def apply_preset_overrides(preset: dict, cfg_model) -> dict:
+    """Optional ``++model.{embed_dim,depth,num_heads}`` overrides on a size
+    preset. The headline use: ``++model.num_heads=3`` at ViT-S width gives
+    head_dim 128 — the MXU-native geometry (every attention matmul uses the
+    full 128-wide systolic array instead of half of it at dh=64) — measured
+    +42%% training throughput at identical parameter count and FLOPs
+    (PERFORMANCE.md). The reference's 6-head ViT-S stays the default for
+    architectural parity."""
+    out = dict(preset)
+    for key in ("embed_dim", "depth", "num_heads"):
+        val = cfg_model.get(key)
+        if val:
+            out[key] = int(val)
+    return out
+
+
 # size presets mirroring channelvit_{tiny,small,base,distill} (dichavit.py:676-745)
 SIZE_PRESETS = {
     "tiny": dict(embed_dim=192, depth=12, num_heads=3),

@@ -24,7 +24,7 @@ from flax import linen as nn
 from ..ops.initializers import kaiming_normal_init, trunc_normal_init
 from ..ops.patch_embed import extract_patches
 from .channel_attention_pooling import ChannelAttentionPoolingLayer
-from .channel_vit import SIZE_PRESETS
+from .channel_vit import SIZE_PRESETS, apply_preset_overrides
 from .registry import register_model
 from .trunk import ViTTrunk
 from .wrappers import ChannelAdaptiveClassifier
@@ -121,7 +121,9 @@ class DepthwiseViT(nn.Module):
 
 @register_model("depthwisevit_adapt")
 def depthwisevit_adapt(cfg_model, mapper: dict, num_classes: int, dtype=jnp.float32, attn_pooling=None):
-    preset = SIZE_PRESETS[cfg_model.get("pretrained_model_name", "small")]
+    preset = apply_preset_overrides(
+        SIZE_PRESETS[cfg_model.get("pretrained_model_name", "small")], cfg_model
+    )
     img_size = cfg_model.get("img_size") or [224]
     pooling_type = cfg_model.get("pooling_channel_type") or "channel_weights"
     if pooling_type == "attention" and attn_pooling is None:

@@ -20,13 +20,15 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .channel_vit import SIZE_PRESETS, ChannelVisionTransformer
+from .channel_vit import SIZE_PRESETS, apply_preset_overrides, ChannelVisionTransformer
 from .registry import register_model
 from .wrappers import ChannelAdaptiveClassifier
 
 
 def _build_channel_vit(cfg_model, mapper: dict, num_classes: int, dtype) -> ChannelAdaptiveClassifier:
-    preset = SIZE_PRESETS[cfg_model.get("pretrained_model_name", "small")]
+    preset = apply_preset_overrides(
+        SIZE_PRESETS[cfg_model.get("pretrained_model_name", "small")], cfg_model
+    )
     img_size = cfg_model.get("img_size") or [224]
     backbone = ChannelVisionTransformer(
         num_total_channels=len(cfg_model.in_channel_names),

@@ -21,7 +21,7 @@ from flax import linen as nn
 
 from ..ops.initializers import scaled_orthogonal_init, trunc_normal_init
 from ..ops.patch_embed import extract_patches
-from .channel_vit import SIZE_PRESETS
+from .channel_vit import SIZE_PRESETS, apply_preset_overrides
 from .hypernet import HyperNetwork
 from .registry import register_model
 from .trunk import ViTTrunk
@@ -113,7 +113,9 @@ class HyperNetViT(nn.Module):
 
 @register_model("hypervit_adapt")
 def hypervit_adapt(cfg_model, mapper: dict, num_classes: int, dtype=jnp.float32):
-    preset = SIZE_PRESETS[cfg_model.get("pretrained_model_name", "small")]
+    preset = apply_preset_overrides(
+        SIZE_PRESETS[cfg_model.get("pretrained_model_name", "small")], cfg_model
+    )
     img_size = cfg_model.get("img_size") or [224]
     backbone = HyperNetViT(
         num_total_channels=len(cfg_model.in_channel_names),

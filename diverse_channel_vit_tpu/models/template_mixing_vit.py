@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.initializers import kaiming_normal_init, scaled_orthogonal_init
-from .channel_vit import SIZE_PRESETS
+from .channel_vit import SIZE_PRESETS, apply_preset_overrides
 from .registry import register_model
 from .trunk import ViTTrunk
 from .wrappers import ChannelAdaptiveClassifier
@@ -104,7 +104,9 @@ class TemplateMixingViT(nn.Module):
 
 @register_model("templatemixingvit")
 def templatemixingvit(cfg_model, mapper: dict, num_classes: int, dtype=jnp.float32):
-    preset = SIZE_PRESETS[cfg_model.get("pretrained_model_name", "small")]
+    preset = apply_preset_overrides(
+        SIZE_PRESETS[cfg_model.get("pretrained_model_name", "small")], cfg_model
+    )
     img_size = cfg_model.get("img_size") or [224]
     backbone = TemplateMixingViT(
         num_total_channels=len(cfg_model.in_channel_names),

@@ -19,7 +19,7 @@ from flax import linen as nn
 
 from ..ops.initializers import conv_patch_init, trunc_normal_init
 from ..ops.patch_embed import extract_patches
-from .channel_vit import SIZE_PRESETS, interpolate_pos_embed
+from .channel_vit import SIZE_PRESETS, apply_preset_overrides, interpolate_pos_embed
 from .registry import register_model
 from .vit import Block
 from .wrappers import ChannelAdaptiveClassifier
@@ -107,7 +107,9 @@ class SlicedPatchVisionTransformer(nn.Module):
 
 @register_model("vit_adapt")
 def vit_adapt(cfg_model, mapper: dict, num_classes: int, dtype=jnp.float32):
-    preset = SIZE_PRESETS[cfg_model.get("pretrained_model_name", "small")]
+    preset = apply_preset_overrides(
+        SIZE_PRESETS[cfg_model.get("pretrained_model_name", "small")], cfg_model
+    )
     img_size = cfg_model.get("img_size") or [224]
     backbone = SlicedPatchVisionTransformer(
         num_total_channels=len(cfg_model.in_channel_names),

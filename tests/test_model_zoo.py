@@ -128,6 +128,33 @@ def test_attention_maps_extraction():
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, rtol=1e-4)
 
 
+def test_num_heads_preset_override():
+    """``++model.num_heads=3`` (head_dim 128, the MXU-native geometry)
+    flows through the factory; parameter count is unchanged vs 6 heads."""
+    import jax
+    import jax.numpy as jnp
+
+    from diverse_channel_vit_tpu.config import load_config
+    from diverse_channel_vit_tpu import models as model_zoo
+    from diverse_channel_vit_tpu.training.state import param_count
+
+    counts = {}
+    for heads in (None, 3):
+        over = ["model=dichavit"] + ([f"++model.num_heads={heads}"] if heads else [])
+        cfg = load_config("jump_cp_cfg", over)
+        cfg.model.in_channel_names = cfg.dataset.in_channel_names
+        model = model_zoo.build_model(
+            cfg.model.name, cfg.model, {"jump_cp": list(range(8))}, 10,
+            dtype=jnp.float32,
+        )
+        assert model.backbone.num_heads == (heads or 6)
+        x = jnp.zeros((1, 8, 32, 32))
+        p = model.init({"params": jax.random.key(0)}, x, jnp.arange(8),
+                       train=False)["params"]
+        counts[heads] = param_count(p)
+    assert counts[None] == counts[3]
+
+
 def test_scan_blocks_equivalent_to_unrolled():
     """BlockStack(nn.scan) with restacked per-layer params must reproduce the
     unrolled forward exactly (eval mode, no dropout)."""
