@@ -14,7 +14,7 @@ biases, LayerNorm (1, 0). GELU defaults to the tanh approximation on TPU
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

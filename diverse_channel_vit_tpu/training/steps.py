@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models.wrappers import model_scale
-from ..ops.losses import cross_entropy_loss, proxy_loss
+from ..ops.losses import cross_entropy_loss
 from ..ops.sampling import dcs_select
 from .state import TrainState
 
