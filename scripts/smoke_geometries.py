@@ -25,9 +25,10 @@ from diverse_channel_vit_tpu.training.schedules import make_lr_schedule
 from diverse_channel_vit_tpu.training.steps import make_train_step
 
 
-def smoke(tag, *, c, img, dim, depth, heads, batch, loss_type, with_head, k=None):
+def smoke(tag, *, c, img, dim, depth, heads, batch, loss_type, with_head,
+          k=None, patch=16):
     backbone = ChannelVisionTransformer(
-        num_total_channels=c, img_size=img, patch_size=16, embed_dim=dim,
+        num_total_channels=c, img_size=img, patch_size=patch, embed_dim=dim,
         depth=depth, num_heads=heads, proxy_loss_lambda=0.1,
         ortho_loss_v1_lambda=1.0, dtype=jnp.bfloat16,
     )
@@ -43,7 +44,7 @@ def smoke(tag, *, c, img, dim, depth, heads, batch, loss_type, with_head, k=None
                                sample_input=x0, sample_channel_ids=jnp.arange(c))
     step = make_train_step(model, channel_ids=range(c), k=k,
                            hcs_method="lowest_cosine_prob" if k else "none",
-                           patch_size=16, loss_type=loss_type,
+                           patch_size=patch, loss_type=loss_type,
                            extra_loss_lambda=1.0, donate=True)
     data = {"image": jax.random.normal(jax.random.key(1), (batch, c, img, img)),
             "label": jnp.arange(batch) % 21}
@@ -77,3 +78,7 @@ if __name__ == "__main__":
     # MXU-native geometry
     smoke("dh128 jump_cp", c=8, img=224, dim=384, depth=12, heads=3,
           batch=64, loss_type="ce", with_head=True)
+    # So2Sat geometry: 18 channels, 32x32, patch 8 -> 18*16+1 = 289 tokens
+    # (odd/unpadded -> exercises the UNfused packed-flash path on TPU)
+    smoke("so2sat 18ch p8", c=18, img=32, dim=384, depth=12, heads=6,
+          batch=128, loss_type="ce", with_head=True, patch=8)
