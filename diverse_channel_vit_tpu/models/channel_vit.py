@@ -338,6 +338,9 @@ SIZE_PRESETS = {
     "small": dict(embed_dim=384, depth=12, num_heads=6),
     "base": dict(embed_dim=768, depth=12, num_heads=12),
     "distill": dict(embed_dim=384, depth=12, num_heads=6),
-    # TPU-build addition: second-scale geometry for smoke tests / CI
+    # TPU-build additions: "small_tpu" is ViT-S re-headed for the 128-wide
+    # MXU (identical params/FLOPs, +40% measured training throughput —
+    # PERFORMANCE.md "MXU-native geometry"); "test" is a smoke-test scale
+    "small_tpu": dict(embed_dim=384, depth=12, num_heads=3),
     "test": dict(embed_dim=64, depth=2, num_heads=2),
 }
