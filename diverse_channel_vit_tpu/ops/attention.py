@@ -82,6 +82,31 @@ def _pick_block_q(n: int, *, hp: int = 1, budget: int = _FWD_SCORE_BYTES) -> int
     return best
 
 
+def _pick_block_q_bwd(n: int, dh: int = 64, *, hp: int = 2,
+                      budget: int = _BWD_SCORE_BYTES) -> int:
+    """Backward q-block chooser.
+
+    At dh < 128 (half-width MXU matmuls) a 128-multiple block wins when one
+    fits the budget — measured with the proj-fused backward kernel: at
+    N=2432 bq=128 beats the largest-divisor pick 152 by 14% (10.62 vs
+    12.29 ms/layer); at N=1664 bq=128 vs 208 is 10.22 vs 10.28 and the full
+    bench gains (+1.0 imgs/s flagship, +4 recipe). At dh >= 128 the matmuls
+    already fill the array and the LARGEST divisor wins (3-head sweep:
+    bq=208 5.88 vs 128 6.42 ms/layer; forcing 128 cost 17 imgs/s on the
+    dh=128 bench metric)."""
+    n_pad = _cdiv(n, LANE) * LANE
+    cap = min(512, budget // (4 * n_pad * hp))
+    best, best128 = 8, None
+    for b in range(8, max(cap, 8) + 1, 8):
+        if n_pad % b == 0:
+            best = b
+            if b % 128 == 0:
+                best128 = b
+    if dh < 128 and best128 is not None:
+        return best128
+    return best
+
+
 def preferred_pad(n: int) -> int:
     """Token count the model should pad to so per-layer padding is a no-op."""
     if jax.default_backend() in ("cpu",) or pltpu is None or n > MAX_SINGLE_PASS_N:
@@ -266,7 +291,7 @@ def _packed_bwd_impl(q, k, v, o, do, num_heads, sm_scale, n_valid):
     b, n, d = q.shape
     # measured: bwd bq 208 (156.4 ms/12 fwd+bwd) beats 416 (159.9) and
     # 104 (184) at N=1664 once vmem_limit_bytes unblocks the compile
-    block_q = _pick_block_q(n, hp=2, budget=_BWD_SCORE_BYTES)
+    block_q = _pick_block_q_bwd(n, d // num_heads)
     nq = n // block_q
     dq, dk, dv = pl.pallas_call(
         functools.partial(

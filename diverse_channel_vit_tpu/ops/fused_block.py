@@ -523,7 +523,7 @@ def _ap_fwd_impl(qkv, x_res, wp, bp, num_heads, sm_scale, n_valid, block_q,
 def _ap_bwd_impl(qkv, o, wp, dxo, num_heads, sm_scale, n_valid):
     b, n, d3 = qkv.shape
     d = d3 // 3
-    block_q = _attn._pick_block_q(n, hp=2, budget=_attn._BWD_SCORE_BYTES)
+    block_q = _attn._pick_block_q_bwd(n, d // num_heads)
     nq = n // block_q
     dq, dk, dv, dwp_b, dbp_b, db3_b = pl.pallas_call(
         functools.partial(

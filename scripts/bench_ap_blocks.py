@@ -16,8 +16,11 @@ enable()
 from diverse_channel_vit_tpu.ops import attention as attn
 from diverse_channel_vit_tpu.ops import fused_block as fb
 
-B, N, D, H = 64, 1569, 384, 6
-NP = 1664
+import os as _os
+B = int(_os.environ.get('BATCH', 64))
+N = int(_os.environ.get('SEQ', 1569))
+D, H = 384, int(_os.environ.get('HEADS', 6))
+NP = -(-N // 128) * 128
 L = 12
 SM = (D // H) ** -0.5
 
@@ -53,7 +56,8 @@ def main():
             return y
         return jax.jit(f)
 
-    for bq in (208, 416, 832):
+    fwd_bqs = sorted({b for b in (152, 208, 304, 416, 608, 832) if NP % b == 0})
+    for bq in fwd_bqs:
         print(f"fwd bq={bq}: {bench(chain_fwd(bq), y, x)*1e3/L:.2f} ms/layer", flush=True)
 
     def chain_bwd(bq_bwd):
@@ -72,7 +76,8 @@ def main():
         return jax.jit(f)
 
     dxo = mk(5, (B, NP, D))
-    for bq in (104, 128, 208, 416):
+    bwd_bqs = sorted({b for b in (76, 104, 128, 152, 208, 304, 416) if NP % b == 0 and b % 8 == 0})
+    for bq in bwd_bqs:
         attn_orig = attn._pick_block_q
         attn._pick_block_q = lambda n, hp=1, budget=0, _bq=bq: _bq
         try:
