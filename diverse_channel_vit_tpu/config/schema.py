@@ -138,6 +138,10 @@ SECTION_DEFAULTS = {
         "reverse_pos_pairs": False,
         "use_square": False,
         # TPU-specific additions
+        # local torch checkpoint path for the ConvNeXt family (zero-egress
+        # stand-in for timm's pretrained download; model.pretrained may also
+        # be the path string directly)
+        "pretrained_ckpt": None,
         "attention_impl": "auto",  # auto | pallas | xla
         "remat": False,  # rematerialize transformer blocks (HBM headroom)
         "scan_blocks": False,  # one nn.scan loop over blocks (fast compile; stacked params)

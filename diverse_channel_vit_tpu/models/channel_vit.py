@@ -230,7 +230,10 @@ class ChannelVisionTransformer(nn.Module):
         if self.block_type == "block" and not evit_on:
             from ..ops.attention import maybe_pad_tokens
 
-            xseq, valid_len = maybe_pad_tokens(xseq, self.dtype)
+            xseq, valid_len = maybe_pad_tokens(
+                xseq, self.dtype, num_heads=self.num_heads,
+                attention_impl=self.attention_impl,
+            )
 
         if self.scan_blocks and self.block_type == "block" and not evit_on:
             from .vit import BlockStack

@@ -128,6 +128,137 @@ class InstanceNorm2d(nn.Module):
         return y * scale + bias
 
 
+def initialize_first_conv_layer(
+    stem_kernel: jax.Array,
+    torch_stem_weight,
+    first_layer: str,
+) -> jax.Array:
+    """Expand a pretrained 3-channel stem to ``in_dim`` channels.
+
+    Reference semantics ``model_utils.py:45-91`` (ConvNeXtBase) and
+    ``shared_convnext.py:64-90`` (per-chunk stems). The production config
+    key is ``init_first_layer`` (the reference model code reads
+    ``cfg.first_layer``, a field its production dataclass lacks — the torch
+    path only works via the modules' ``__main__`` demos; we honor the yaml
+    key).
+
+    ``stem_kernel``: flax (kh, kw, in_dim, out), already random-initialized
+    with kaiming fan_out — the exact distribution the REINIT branch draws.
+    ``torch_stem_weight``: torch-layout (out, orig_in, kh, kw) pretrained.
+
+    - ``reinit_as_random``: keep the random init (same distribution as
+      ``nn.init.kaiming_normal_(mode='fan_out', nonlinearity='relu')``).
+    - ``pretrained_pad_random``: pretrained on the first ``orig_in``
+      channels, random on the rest.
+    - ``pretrained_pad_avg``: as above, then channel ``orig_in + i`` gets
+      ``mean(pretrained[:, i : n_avg + i])`` with ``n_avg = 2 if in_dim == 5
+      else 3`` (the reference's hard-coded CHAMMI rule, slices clamped like
+      torch's).
+    - ``pretrained_pad_dups`` raises, as the reference's else-branch does
+      (its DUPS mode exists only for the SliceParam bank —
+      :func:`pad_dups_param_bank`).
+    """
+    import numpy as np
+
+    mode = str(getattr(first_layer, "value", first_layer) or "reinit_as_random")
+    if mode == "reinit_as_random":
+        return stem_kernel
+    if mode not in ("pretrained_pad_random", "pretrained_pad_avg"):
+        # parity: model_utils.py:88-89 raises for every other mode
+        raise NotImplementedError(f"First layer init {mode} not implemented")
+    pre = np.asarray(torch_stem_weight).transpose(2, 3, 1, 0)  # (kh,kw,orig,out)
+    orig_in, in_dim = pre.shape[2], stem_kernel.shape[2]
+    if orig_in > in_dim:
+        # the reference silently keeps the (wider) pretrained stem and later
+        # fails on the channel mismatch at forward time — fail loudly here
+        raise ValueError(
+            f"pretrained stem has {orig_in} input channels > model in_dim {in_dim}"
+        )
+    if orig_in == in_dim:
+        # reference no-ops (keeps the pretrained stem verbatim)
+        return jnp.asarray(pre, stem_kernel.dtype)
+    out = np.asarray(stem_kernel).copy()
+    out[:, :, :orig_in, :] = pre
+    if mode == "pretrained_pad_avg":
+        n_avg = 2 if in_dim == 5 else 3
+        for i, c in enumerate(range(orig_in, in_dim)):
+            out[:, :, c, :] = pre[:, :, i : n_avg + i, :].mean(axis=2)
+    return jnp.asarray(out, stem_kernel.dtype)
+
+
+def pad_dups_param_bank(bank: jax.Array, torch_stem_weight) -> jax.Array:
+    """SliceParamConvNeXt ``PRETRAINED_PAD_DUPS`` bank init
+    (``slice_param_convnext.py:92-110``): each pretrained input channel is
+    repeated consecutively (einops ``o i h w -> o (i d) h w``), truncated to
+    the bank's channel count. ``bank``: ours-layout (out, C_total, kh, kw)."""
+    import numpy as np
+
+    pre = np.asarray(torch_stem_weight)  # (out, orig_in, kh, kw)
+    total = bank.shape[1]
+    num_dups = total // pre.shape[1] + 1
+    dup = np.repeat(pre, num_dups, axis=1)[:, :total]
+    return jnp.asarray(dup, bank.dtype)
+
+
+def apply_pretrained_convnext(
+    params: dict,
+    torch_state: dict,
+    model_name: str,
+    init_first_layer=None,
+    mapper: dict | None = None,
+) -> dict:
+    """Load a local timm-convnext-tiny torch state_dict into a ConvNeXt-family
+    classifier param tree (the zero-egress stand-in for the reference's
+    ``create_model(..., pretrained=True)`` + ``intialize_first_conv_layer``).
+
+    - trunk stages/downsample/stem-LN convert via
+      :func:`load_torch_convnext_state`;
+    - ``convnext_base``: ``stem_conv`` expands per ``init_first_layer``
+      (``convnext_base.py:14-33``); the pretrained stem bias is kept, as the
+      reference keeps ``model.stem[0]``'s bias;
+    - ``shared_convnext``: each per-chunk stem expands to its chunk width
+      (``shared_convnext.py:33-35``, ``:64-90``), bias kept per chunk;
+    - ``sliceparamconvnext``: ``PRETRAINED_PAD_DUPS`` fills the bank
+      (``slice_param_convnext.py:92-110``); any other mode keeps the random
+      kaiming fan_in bank, as the reference's else-branch re-inits;
+    - other family members keep their generated/template stems (their
+      reference ctors never touch ``first_layer`` for the stem banks).
+    """
+    import numpy as np
+
+    out = dict(params)
+    bb = dict(out["backbone"])
+    bb["trunk"] = load_torch_convnext_state(bb["trunk"], torch_state)
+    stem_w = torch_state.get("stem.0.weight")
+    stem_b = torch_state.get("stem.0.bias")
+    if stem_w is not None:
+        if model_name == "convnext_base" and "stem_conv" in bb:
+            bb["stem_conv"] = initialize_first_conv_layer(
+                bb["stem_conv"], stem_w, init_first_layer
+            )
+            if stem_b is not None:
+                bb["stem_bias"] = jnp.asarray(np.asarray(stem_b), bb["stem_bias"].dtype)
+        elif model_name == "shared_convnext":
+            for chunk in (mapper or {}):
+                key = f"stem_conv_{chunk}"
+                if key in bb:
+                    bb[key] = initialize_first_conv_layer(
+                        bb[key], stem_w, init_first_layer
+                    )
+                    if stem_b is not None:
+                        bb[f"stem_bias_{chunk}"] = jnp.asarray(
+                            np.asarray(stem_b), bb[f"stem_bias_{chunk}"].dtype
+                        )
+        elif model_name == "sliceparamconvnext" and "conv1_param_bank" in bb:
+            mode = str(getattr(init_first_layer, "value", init_first_layer) or "")
+            if mode == "pretrained_pad_dups":
+                bb["conv1_param_bank"] = pad_dups_param_bank(
+                    bb["conv1_param_bank"], stem_w
+                )
+    out["backbone"] = bb
+    return out
+
+
 def load_torch_convnext_state(flax_params: dict, torch_state: dict) -> dict:
     """Map a timm convnext_tiny state_dict onto the flax trunk tree.
 

@@ -88,9 +88,12 @@ class _ConvNeXtCore(nn.Module):
 
 class ConvNeXtBase(_ConvNeXtCore):
     """Single model per chunk: plain Conv 4x4/4 stem over ``in_dim`` channels
-    (``convnext_base.py:14-106``; stem re-init per ``intialize_first_conv_layer``
-    — without downloadable timm weights all FirstLayerInit modes degrade to
-    the REINIT_AS_RANDOM branch, ``model_utils.py:45-91``)."""
+    (``convnext_base.py:14-106``). The stem init defaults to the
+    REINIT_AS_RANDOM distribution; with a local torch checkpoint
+    (``model.pretrained``/``pretrained_ckpt``) the trainer applies the
+    PRETRAINED_PAD_RANDOM / PRETRAINED_PAD_AVG expansion via
+    ``convnext.initialize_first_conv_layer`` (``model_utils.py:45-91``,
+    golden-tested in tests/test_reference_parity.py)."""
 
     in_dim: int = 3
 

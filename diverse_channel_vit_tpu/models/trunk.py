@@ -59,7 +59,10 @@ class ViTTrunk(nn.Module):
         # the fused-block path engage on TPU (N+1 is odd otherwise)
         from ..ops.attention import maybe_pad_tokens
 
-        x, valid_len = maybe_pad_tokens(x, self.dtype)
+        x, valid_len = maybe_pad_tokens(
+            x, self.dtype, num_heads=self.num_heads,
+            attention_impl=self.attention_impl,
+        )
 
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
         for i in range(self.depth):

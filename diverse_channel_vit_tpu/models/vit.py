@@ -100,6 +100,13 @@ class Attention(nn.Module):
             s = jnp.einsum(
                 "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
             ) * sm_scale
+            if valid_len is not None and valid_len < n:
+                # padded keys carry LayerNorm'd bias values — mask them the
+                # same way the flash / xla_attention paths do
+                from ..ops.attention import MASK_VALUE
+
+                key_mask = jnp.arange(n) < valid_len
+                s = jnp.where(key_mask[None, None, None, :], s, MASK_VALUE)
             probs = jax.nn.softmax(s, axis=-1)
             if impl == "xla_capture":
                 # analysis path: dense probs sown as intermediates
@@ -460,6 +467,9 @@ class Block(nn.Module):
             and x.shape[1] % 8 == 0
             and x.shape[1] <= MAX_SINGLE_PASS_N
             and x.shape[-1] % 128 == 0
+            # the fused kernels' static lane-offset head slices are only
+            # designed/measured for 64-multiple head widths
+            and (x.shape[-1] // self.num_heads) % 64 == 0
             and not (train and (self.attn_drop > 0.0 or self.drop > 0.0))
             and not _act.GELU_EXACT_DEFAULT
         )

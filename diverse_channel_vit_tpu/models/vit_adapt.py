@@ -84,7 +84,10 @@ class SlicedPatchVisionTransformer(nn.Module):
         # pad once to the flash kernel's preferred multiple (see trunk.py)
         from ..ops.attention import maybe_pad_tokens
 
-        xseq, valid_len = maybe_pad_tokens(xseq, self.dtype)
+        xseq, valid_len = maybe_pad_tokens(
+            xseq, self.dtype, num_heads=self.num_heads,
+            attention_impl=self.attention_impl,
+        )
 
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
         for i in range(self.depth):

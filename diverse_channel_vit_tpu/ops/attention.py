@@ -115,7 +115,13 @@ def preferred_pad(n: int) -> int:
     return _cdiv(n, block_q) * block_q
 
 
-def maybe_pad_tokens(xseq: jax.Array, dtype) -> Tuple[jax.Array, Optional[int]]:
+def maybe_pad_tokens(
+    xseq: jax.Array,
+    dtype,
+    *,
+    num_heads: Optional[int] = None,
+    attention_impl: str = "auto",
+) -> Tuple[jax.Array, Optional[int]]:
     """Pad a (B, N, D) token grid ONCE to the flash kernel's preferred
     multiple, so no layer re-pads q/k/v; padded keys are masked downstream
     via the returned ``valid_len``.
@@ -123,16 +129,25 @@ def maybe_pad_tokens(xseq: jax.Array, dtype) -> Tuple[jax.Array, Optional[int]]:
     Only pads when the dense-layer overhead stays small; the fused-block
     path (TPU bf16, padded/even sequence only) gains enough on the dense
     side to justify a wider cap (the k=3/6 HCS draws pad at 1.086/1.088).
+    The wider cap is only chosen when the Block's fused gate can actually
+    accept this geometry (D multiple of 128, 64-multiple head width, pallas
+    impl) — otherwise up to 20% extra dense compute would buy nothing.
     Returns ``(xseq, valid_len)`` with ``valid_len=None`` when unpadded.
     """
     from . import fused_block as _fb  # circular-at-import, fine at call time
 
     n_tok = xseq.shape[1]
+    dim = xseq.shape[-1]
     n_padded = preferred_pad(n_tok)
+    fused_geometry = (
+        dim % 128 == 0
+        and (num_heads is None or (dim // num_heads) % 64 == 0)
+        and attention_impl in ("auto", "pallas")
+    )
     cap = (
         1.20
         if (_fb.FUSED_BLOCK_DEFAULT and _fb.fused_block_available()
-            and dtype == jnp.bfloat16)
+            and dtype == jnp.bfloat16 and fused_geometry)
         else 1.08
     )
     if n_tok < n_padded <= int(cap * n_tok):

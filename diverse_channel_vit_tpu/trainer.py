@@ -58,6 +58,19 @@ def _default(val, fallback):
     return fallback if val is None else val
 
 
+def _load_torch_state_dict(path: str) -> dict:
+    """Load a local torch checkpoint into a plain {name: tensor} dict.
+    Accepts raw state dicts and the common ``{"state_dict"|"model": ...}``
+    wrappers; strips ``module.`` (DataParallel) prefixes."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    for key in ("state_dict", "model"):
+        if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
+            obj = obj[key]
+    return {k.removeprefix("module."): v for k, v in obj.items()}
+
+
 class Trainer:
     def __init__(self, cfg):
         self.cfg = cfg
@@ -254,6 +267,28 @@ class Trainer:
             sample_input=sample,
             sample_channel_ids=jnp.asarray(cids0),
         )
+        # pretrained ConvNeXt trunk from a LOCAL torch checkpoint — the
+        # zero-egress stand-in for the reference's timm
+        # ``create_model(pretrained=True)`` + ``intialize_first_conv_layer``
+        # (``convnext_base.py:14-33``). ``model.pretrained`` may be a path
+        # string, or True with ``model.pretrained_ckpt`` set.
+        pre = cfg.model.get("pretrained")
+        ckpt_path = pre if isinstance(pre, str) else (
+            cfg.model.get("pretrained_ckpt") if pre else None
+        )
+        if ckpt_path and "convnext" in str(cfg.model.name):
+            from .models.convnext import apply_pretrained_convnext
+
+            sd = _load_torch_state_dict(ckpt_path)
+            params = apply_pretrained_convnext(
+                dict(self.state.params), sd, str(cfg.model.name),
+                init_first_layer=cfg.model.get("init_first_layer"),
+                mapper=self.mapper,
+            )
+            self.state = self.state.replace(
+                params=params, opt_state=self.tx.init(params)
+            )
+            self.logger.info(f"loaded pretrained ConvNeXt weights from {ckpt_path}")
         # selective training (model_utils.py:21-42 freeze helpers)
         freeze_other = bool(cfg.model.get("freeze_other", False))
         last_n = cfg.model.get("unfreeze_last_n_layers", -1)

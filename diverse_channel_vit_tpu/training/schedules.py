@@ -101,13 +101,21 @@ def timm_multistep_schedule(
 def wd_cosine_schedule(
     base_value: float, final_value: float, total_steps: int
 ) -> Schedule:
-    """Cosine weight-decay table (``utils.py:563-573``) as a step function."""
+    """Effective per-update weight decay, reference-exact.
+
+    The reference builds ``wd_schedule[i] = final + 0.5*(base-final)*
+    (1+cos(pi*i/total))`` (``utils.py:563-573``, denominator = the table
+    length) and writes ``wd_schedule[num_updates-1]`` into the param group
+    AFTER the optimizer step (``trainer.py:940-948``), so update ``i``
+    (0-indexed) actually trains with ``wd_schedule[i-1]`` — update 0 with
+    the base value (== ``wd_schedule[0]``). This function returns that
+    effective coefficient directly."""
 
     def fn(step):
-        i = jnp.clip(jnp.asarray(step, jnp.float32), 0, total_steps - 1)
+        i = jnp.clip(jnp.asarray(step, jnp.float32) - 1.0, 0, total_steps - 1)
         return (
             final_value
-            + 0.5 * (base_value - final_value) * (1.0 + jnp.cos(math.pi * i / max(total_steps - 1, 1)))
+            + 0.5 * (base_value - final_value) * (1.0 + jnp.cos(math.pi * i / max(total_steps, 1)))
         ).astype(jnp.float32)
 
     return fn

@@ -240,7 +240,7 @@ def make_train_step(
                 params, x, cids_const, rng_sample, k=k, method=hcs_method,
                 temp=hcs_temp, patch_size=patch_size, axis_name=axis,
             )
-            return _loss_and_metrics(
+            total, metrics = _loss_and_metrics(
                 model, params, xs, cs, y, rng_drop,
                 channel_override=override,
                 loss_type=loss_type,
@@ -250,11 +250,23 @@ def make_train_step(
                 miro_pre_params=miro_pre_params,
                 miro_ld=miro_ld,
             )
+            if k is not None and k < len(channel_ids):
+                # channel-usage counter input (dichavit.py:66, :214-216):
+                # the ids actually used in this loss, threaded out as aux —
+                # no second selection/augmentation pass
+                metrics["sampled_channels"] = cs
+            return total, metrics
 
         grads, metrics = jax.grad(loss_fn, has_aux=True)(params)
         if sharded:
+            # integer channel ids don't average; global draws are identical
+            # on every shard (pmean'd cosines, shared rng_sample) and
+            # hcs_per_sample reports shard 0's subset
+            cs_out = metrics.pop("sampled_channels", None)
             grads = jax.lax.pmean(grads, "data")
             metrics = jax.lax.pmean(metrics, "data")
+            if cs_out is not None:
+                metrics["sampled_channels"] = cs_out
         return grads, metrics
 
     gm = _shard_map_grads(grads_and_metrics, mesh) if sharded else grads_and_metrics
@@ -262,19 +274,6 @@ def make_train_step(
     def step(state: TrainState, batch, rng):
         grads, metrics = gm(state.params, batch, rng)
         metrics["grad_norm"] = optax.global_norm(grads)
-        if k is not None and k < len(channel_ids):
-            # channel-usage counter input (dichavit.py:66, :214-216);
-            # reproduces the in-loss selection (same rng_sample, same
-            # augmented view)
-            rng_sample, _, rng_aug = jax.random.split(rng, 3)
-            x_dbg = batch["image"]
-            if augment_fn is not None:
-                x_dbg = augment_fn(rng_aug, x_dbg)
-            _, cs_dbg, _ = _select_channels(
-                state.params, x_dbg, cids_const, rng_sample, k=k,
-                method=hcs_method, temp=hcs_temp, patch_size=patch_size,
-            )
-            metrics["sampled_channels"] = cs_dbg
         new_state = state.apply_gradients(grads=grads)
         return new_state, metrics
 
@@ -325,7 +324,7 @@ def make_grad_step(
                 p, x, cids_const, rng_sample, k=k, method=hcs_method,
                 temp=hcs_temp, patch_size=patch_size, axis_name=axis,
             )
-            return _loss_and_metrics(
+            total, metrics = _loss_and_metrics(
                 model, p, xs, cs, y, rng_drop,
                 channel_override=override,
                 loss_type=loss_type,
@@ -335,31 +334,26 @@ def make_grad_step(
                 miro_pre_params=miro_pre_params,
                 miro_ld=miro_ld,
             )
+            if k is not None and k < len(channel_ids):
+                # channel-usage counter on the CHAMMI/mixed path too — the
+                # paper's headline diagnostic (dichavit.py:214-216, reference
+                # trainer.py:796-804); the in-loss ids, no recompute
+                metrics["sampled_channels"] = cs
+            return total, metrics
 
         grads, metrics = jax.grad(loss_fn, has_aux=True)(params)
         if sharded:
+            cs_out = metrics.pop("sampled_channels", None)
             grads = jax.lax.pmean(grads, "data")
             metrics = jax.lax.pmean(metrics, "data")
+            if cs_out is not None:
+                metrics["sampled_channels"] = cs_out
         return grads, metrics
 
     gm = _shard_map_grads(grads_and_metrics, mesh) if sharded else grads_and_metrics
 
     def grad_step(params, batch, rng):
-        grads, metrics = gm(params, batch, rng)
-        if k is not None and k < len(channel_ids):
-            # channel-usage counter input on the CHAMMI/mixed path too —
-            # the paper's headline diagnostic (dichavit.py:214-216,
-            # reference trainer.py:796-804)
-            rng_sample, _, rng_aug = jax.random.split(rng, 3)
-            x_dbg = batch["image"]
-            if augment_fn is not None:
-                x_dbg = augment_fn(rng_aug, x_dbg)
-            _, cs_dbg, _ = _select_channels(
-                params, x_dbg, cids_const, rng_sample, k=k, method=hcs_method,
-                temp=hcs_temp, patch_size=patch_size,
-            )
-            metrics["sampled_channels"] = cs_dbg
-        return grads, metrics
+        return gm(params, batch, rng)
 
     return jax.jit(grad_step)
 

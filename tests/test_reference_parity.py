@@ -56,6 +56,126 @@ def ref_modules():
     return loss_fn, channel_vit, tps
 
 
+@pytest.fixture(scope="module")
+def ref_model_utils(ref_modules):
+    """models/model_utils.py needs config.py, which imports omegaconf (absent
+    in env) — stub MISSING/OmegaConf, then import."""
+    import importlib
+
+    if "omegaconf" not in sys.modules:
+        om = types.ModuleType("omegaconf")
+        om.MISSING = "???"
+        om.OmegaConf = type("OmegaConf", (), {})
+        sys.modules["omegaconf"] = om
+    return importlib.import_module("models.model_utils")
+
+
+@pytest.mark.parametrize("in_dim", [4, 5, 8])
+@pytest.mark.parametrize("mode", ["pretrained_pad_random", "pretrained_pad_avg"])
+def test_first_conv_layer_init_matches_reference(ref_model_utils, in_dim, mode):
+    """initialize_first_conv_layer vs the reference's
+    ``intialize_first_conv_layer`` (model_utils.py:45-91): pretrained columns
+    and the hard-coded PAD_AVG channel averages must bit-match; the random
+    pad columns keep our kaiming draw (torch RNG differs by construction)."""
+    from helper_classes.first_layer_init import FirstLayerInit
+
+    from diverse_channel_vit_tpu.models.convnext import initialize_first_conv_layer
+
+    torch.manual_seed(3)
+    conv = torch.nn.Conv2d(3, 8, 4, 4)
+    model = types.SimpleNamespace(stem=[conv])
+    ref_conv = ref_model_utils.intialize_first_conv_layer(
+        model, (8, in_dim, 4, 4), 3, FirstLayerInit(mode), in_dim,
+        return_first_layer_only=True,
+    )
+    ref_w = ref_conv.weight.detach().numpy()  # (8, in_dim, 4, 4)
+    # the reference call mutates conv in place; the original pretrained
+    # weight survives as the first 3 columns of its output
+    pre = ref_w[:, :3]
+
+    rng = np.random.default_rng(7)
+    ours0 = rng.normal(size=(4, 4, in_dim, 8)).astype(np.float32)
+    import jax.numpy as jnp
+
+    out = np.asarray(initialize_first_conv_layer(jnp.asarray(ours0), pre, mode))
+    # deterministic part: pretrained columns bit-match the reference
+    np.testing.assert_allclose(out[:, :, :3, :], ref_w[:, :3].transpose(2, 3, 1, 0),
+                               atol=0)
+    if mode == "pretrained_pad_avg":
+        # the averaged pad channels bit-match too (incl. the clamped slices)
+        np.testing.assert_allclose(
+            out[:, :, 3:, :], ref_w[:, 3:].transpose(2, 3, 1, 0), atol=1e-7
+        )
+    else:
+        # random pad channels keep our original kaiming draw
+        np.testing.assert_array_equal(out[:, :, 3:, :], ours0[:, :, 3:, :])
+
+
+def test_first_conv_layer_reinit_and_dups_semantics():
+    """reinit keeps the (already kaiming fan_out) random init; PAD_DUPS
+    raises like the reference else-branch; the SliceParam DUPS bank matches
+    the einops repeat+truncate (slice_param_convnext.py:99-106)."""
+    import jax.numpy as jnp
+
+    from diverse_channel_vit_tpu.models.convnext import (
+        initialize_first_conv_layer,
+        pad_dups_param_bank,
+    )
+
+    rng = np.random.default_rng(8)
+    stem = jnp.asarray(rng.normal(size=(4, 4, 5, 8)).astype(np.float32))
+    pre = rng.normal(size=(8, 3, 4, 4)).astype(np.float32)
+    assert initialize_first_conv_layer(stem, pre, "reinit_as_random") is stem
+    with pytest.raises(NotImplementedError):
+        initialize_first_conv_layer(stem, pre, "pretrained_pad_dups")
+
+    bank = jnp.zeros((8, 7, 4, 4), jnp.float32)
+    out = np.asarray(pad_dups_param_bank(bank, pre))
+    # einops repeat "o i h w -> o (i d) h w", d = 7//3+1 = 3, truncate to 7:
+    # [c0,c0,c0, c1,c1,c1, c2]
+    expect = np.repeat(pre, 3, axis=1)[:, :7]
+    np.testing.assert_array_equal(out, expect)
+
+
+def test_apply_pretrained_convnext_glue():
+    """apply_pretrained_convnext routes trunk keys through the converter and
+    the stem through initialize_first_conv_layer on a mini tree."""
+    import jax.numpy as jnp
+
+    from diverse_channel_vit_tpu.models.convnext import apply_pretrained_convnext
+
+    rng = np.random.default_rng(9)
+    params = {
+        "backbone": {
+            "stem_conv": jnp.asarray(rng.normal(size=(4, 4, 5, 8)).astype(np.float32)),
+            "stem_bias": jnp.zeros((8,), jnp.float32),
+            "trunk": {
+                "stem_norm": {"scale": jnp.ones((8,)), "bias": jnp.zeros((8,))},
+            },
+        },
+        "proxies": jnp.zeros((3, 8)),
+    }
+    sd = {
+        "stem.0.weight": torch.randn(8, 3, 4, 4),
+        "stem.0.bias": torch.randn(8),
+        "stem.1.weight": torch.randn(8),
+        "stem.1.bias": torch.randn(8),
+    }
+    out = apply_pretrained_convnext(
+        params, sd, "convnext_base", init_first_layer="pretrained_pad_avg"
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["backbone"]["stem_conv"])[:, :, :3, :],
+        sd["stem.0.weight"].numpy().transpose(2, 3, 1, 0), atol=0,
+    )
+    np.testing.assert_array_equal(np.asarray(out["backbone"]["stem_bias"]),
+                                  sd["stem.0.bias"].numpy())
+    np.testing.assert_array_equal(np.asarray(out["backbone"]["trunk"]["stem_norm"]["scale"]),
+                                  sd["stem.1.weight"].numpy())
+    # untouched leaves keep identity
+    assert out["proxies"] is params["proxies"]
+
+
 def test_proxy_loss_matches_reference(ref_modules):
     loss_fn, _, _ = ref_modules
     from diverse_channel_vit_tpu.ops.losses import proxy_loss

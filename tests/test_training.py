@@ -113,7 +113,11 @@ def test_adamw_wd_schedule_is_applied():
     upd3, state = tx.update(g, state, p)
     d1, d3 = float(upd1["w"][0, 0]), float(upd3["w"][0, 0])
     assert np.isclose(d1, -0.1, rtol=1e-5)
-    assert np.isclose(d3, -1.0, rtol=1e-5)
+    # reference lag (trainer.py:940-948): update i trains with the table
+    # value at i-1; i=2 -> 1.0 + 0.5*(0.1-1.0)*(1+cos(pi*1/3)) = 0.325
+    assert np.isclose(d3, -0.325, rtol=1e-5)
+    # update 1 also trains with table[0] = base (the one-step write lag)
+    assert np.isclose(float(upd2["w"][0, 0]), -0.1, rtol=1e-5)
 
 
 # --------------------------------------------------------------------------
