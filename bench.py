@@ -1,14 +1,19 @@
 """Headline benchmark: DiChaViT-S training throughput at JUMP-CP geometry.
 
-Two measurements of the full jitted training step (per-channel patch embed +
+Measurements of the full jitted training step (per-channel patch embed +
 flash attention x12 + CDL/TDL diversity losses + AdamW, bfloat16):
 
-1. **flagship** — HCS off: all 8 channels, 8*196+1 = 1569 tokens. The
-   hardware-stress number (attention is quadratic in tokens).
+1. **flagship** — HCS off: all 8 channels, 8*196+1 = 1569 tokens, the
+   reference's exact 6-head ViT-S. The hardware-stress parity number.
 2. **recipe** — HCS on, the reference's actual JUMP-CP DiChaViT recipe
    (``train_scripts.sh:5``): every step draws k ~ U[1,8] channels on the
    host and runs that k's compiled specialization (E[k]=4.5 -> ~2.8x fewer
    attention FLOPs than flagship).
+3. **mxu_native (dh=128)** — the same model re-headed ``num_heads=3``
+   (IDENTICAL parameter count and FLOPs; every attention matmul then uses
+   the full 128-wide systolic array instead of half of it at the
+   reference's dh=64) — the TPU-native geometry, reported for both the
+   flagship and recipe workloads (``small_tpu`` preset).
 
 ``vs_baseline`` compares against an *estimated* A100 PyTorch reference
 (the repo publishes no numbers, BASELINE.md): ~82 GFLOPs forward/img at
@@ -16,8 +21,7 @@ flash attention x12 + CDL/TDL diversity losses + AdamW, bfloat16):
 imgs/s flagship; the same arithmetic at E[k]=4.5 (~35 GF/img) => ~1170
 imgs/s for the recipe.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"recipe_*": the HCS-on numbers}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
@@ -28,98 +32,149 @@ import time
 A100_FLAGSHIP_IMGS_PER_SEC = 500.0
 A100_RECIPE_IMGS_PER_SEC = 1170.0
 
+N_CHANNELS, IMG, CLASSES = 8, 224, 161
 
-def main():
+
+def _setup(num_heads: int, batch: int):
+    """Model + state + resident data for one geometry; one-time per config."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
-    from diverse_channel_vit_tpu.compile_cache import enable as _enable_cache
-
-    _enable_cache()
-
+    from __graft_entry__ import _build_flagship
     from diverse_channel_vit_tpu.training import create_train_state, make_optimizer
     from diverse_channel_vit_tpu.training.schedules import make_lr_schedule
-    from diverse_channel_vit_tpu.training.steps import make_train_step
-    from __graft_entry__ import _build_flagship
 
-    n_devices = len(jax.devices())
-    batch = 64 * n_devices
-    n_channels, img = 8, 224
-
-    model = _build_flagship(img, 16, 12, 384, 6, n_channels, 161, jnp.bfloat16)
-    lr = make_lr_schedule("cosine", 4e-4, dict(t_initial=100, warmup_t=10, warmup_lr_init=1e-5),
+    model = _build_flagship(IMG, 16, 12, 384, num_heads, N_CHANNELS, CLASSES,
+                            jnp.bfloat16)
+    lr = make_lr_schedule("cosine", 4e-4,
+                          dict(t_initial=100, warmup_t=10, warmup_lr_init=1e-5),
                           num_epochs=100, steps_per_epoch=100)
-    tx = make_optimizer("adamw", dict(weight_decay=0.04), lr_schedule=lr, total_steps=10000)
-    x0 = jnp.zeros((2, n_channels, img, img), jnp.float32)
+    tx = make_optimizer("adamw", dict(weight_decay=0.04), lr_schedule=lr,
+                        total_steps=10000)
+    x0 = jnp.zeros((2, N_CHANNELS, IMG, IMG), jnp.float32)
     state = create_train_state(model, tx, rng=jax.random.key(0),
-                               sample_input=x0, sample_channel_ids=jnp.arange(n_channels))
-
+                               sample_input=x0,
+                               sample_channel_ids=jnp.arange(N_CHANNELS))
+    n_devices = len(jax.devices())
     mesh = None
     if n_devices > 1:
-        from diverse_channel_vit_tpu.parallel import make_mesh, shard_batch, shard_params
+        from diverse_channel_vit_tpu.parallel import make_mesh, shard_params
 
         mesh = make_mesh({"data": -1, "model": 1})
         state = state.replace(params=shard_params(state.params, mesh),
                               opt_state=shard_params(state.opt_state, mesh))
-
-    def mk_step(k):
-        return make_train_step(
-            model, channel_ids=range(n_channels), k=k,
-            hcs_method="lowest_cosine_prob" if k else "none",
-            hcs_temp=1000.0,  # train_scripts.sh:5 hcs_sampling_temp
-            patch_size=16, loss_type="ce", extra_loss_lambda=1.0, donate=True,
-        )
-
-    key = jax.random.key(1)
-    data = {"image": jax.random.normal(jax.random.key(2), (batch, n_channels, img, img), jnp.float32),
-            "label": jnp.arange(batch) % 161}
-    if n_devices > 1:
+    data = {"image": jax.random.normal(jax.random.key(2),
+                                       (batch, N_CHANNELS, IMG, IMG), jnp.float32),
+            "label": jnp.arange(batch) % CLASSES}
+    if mesh is not None:
         from diverse_channel_vit_tpu.parallel import shard_batch
 
         data = shard_batch(data, mesh)
+    return model, state, data, mesh
 
-    def measure(steps, iters, warmup=3):
-        nonlocal state
-        for i in range(warmup):
-            state, metrics = steps[i % len(steps)](state, data, jax.random.fold_in(key, i))
-        if warmup:
-            jax.block_until_ready(metrics["loss"])
-        t0 = time.perf_counter()
-        for i in range(iters):
-            state, metrics = steps[i % len(steps)](state, data, jax.random.fold_in(key, 100 + i))
-        jax.block_until_ready(metrics["loss"])
-        return batch * iters / (time.perf_counter() - t0)
 
-    # 1. flagship: HCS off
-    flagship_step = mk_step(None)
-    flagship = measure([flagship_step], iters=20) / n_devices
+def _mk_step(model, k, mesh):
+    from diverse_channel_vit_tpu.training.steps import make_train_step
 
-    # 2. recipe: HCS on, k ~ U[1,8] per step (seeded, same draw order as the
-    # trainer's host rng protocol)
-    rng = np.random.default_rng(0)
-    ks = [int(rng.integers(1, n_channels + 1)) for _ in range(48)]
-    steps_by_k = {k: mk_step(k) for k in sorted(set(ks))}
-    recipe_steps = [steps_by_k[k] for k in ks]
-    # warm every specialization once (compile), then measure the mixture
-    for k, s in steps_by_k.items():
-        state, metrics = s(state, data, key)
-    jax.block_until_ready(metrics["loss"])
-    recipe = measure(recipe_steps, iters=len(ks), warmup=0) / n_devices
-
-    # 3. informational: the MXU-native geometry (++model.num_heads=3 ->
-    # head_dim 128; identical parameter count and FLOPs — every attention
-    # matmul then uses the full 128-wide systolic array instead of half of
-    # it at the reference's dh=64). Reported separately; the headline stays
-    # at the reference's 6-head architecture for parity.
-    model128 = _build_flagship(img, 16, 12, 384, 3, n_channels, 161, jnp.bfloat16)
-    state = create_train_state(model128, tx, rng=jax.random.key(0),
-                               sample_input=x0, sample_channel_ids=jnp.arange(n_channels))
-    step128 = make_train_step(
-        model128, channel_ids=range(n_channels), k=None, hcs_method="none",
+    return make_train_step(
+        model, channel_ids=range(N_CHANNELS), k=k,
+        hcs_method="lowest_cosine_prob" if k else "none",
+        hcs_temp=1000.0,  # train_scripts.sh:5 hcs_sampling_temp
         patch_size=16, loss_type="ce", extra_loss_lambda=1.0, donate=True,
+        mesh=mesh,
     )
-    dh128 = measure([step128], iters=20) / n_devices
+
+
+def _measure(state, data, steps, batch, iters, warmup=3):
+    import jax
+
+    key = jax.random.key(1)
+    metrics = None
+    for i in range(warmup):
+        state, metrics = steps[i % len(steps)](state, data, jax.random.fold_in(key, i))
+    if warmup:
+        jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = steps[i % len(steps)](state, data, jax.random.fold_in(key, 100 + i))
+    jax.block_until_ready(metrics["loss"])
+    return batch * iters / (time.perf_counter() - t0), state
+
+
+def flagship_imgs_per_sec(num_heads: int = 6, batch: int = 64, iters: int = 20):
+    """Reusable single-config measurement (scripts/bench_attn.py step exp)."""
+    import jax
+
+    from diverse_channel_vit_tpu.compile_cache import enable
+
+    enable()
+    n_devices = len(jax.devices())
+    model, state, data, mesh = _setup(num_heads, batch * n_devices)
+    step = _mk_step(model, None, mesh)
+    ips, _ = _measure(state, data, [step], batch * n_devices, iters)
+    return ips / n_devices
+
+
+def _recipe_ks(n_draws: int = 48):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    return [int(rng.integers(1, N_CHANNELS + 1)) for _ in range(n_draws)]
+
+
+def recipe_imgs_per_sec(num_heads: int = 6, batch: int = 64):
+    import jax
+
+    from diverse_channel_vit_tpu.compile_cache import enable
+
+    enable()
+    n_devices = len(jax.devices())
+    model, state, data, mesh = _setup(num_heads, batch * n_devices)
+    ks = _recipe_ks()
+    steps_by_k = {k: _mk_step(model, k, mesh) for k in sorted(set(ks))}
+    # warm every specialization once (compile), then measure the mixture
+    for s in steps_by_k.values():
+        state, metrics = s(state, data, jax.random.key(9))
+    jax.block_until_ready(metrics["loss"])
+    ips, _ = _measure(state, data, [steps_by_k[k] for k in ks],
+                      batch * n_devices, iters=len(ks), warmup=0)
+    return ips / n_devices
+
+
+def main():
+    import jax
+
+    from diverse_channel_vit_tpu.compile_cache import enable as _enable_cache
+
+    _enable_cache()
+    n_devices = len(jax.devices())
+    b = 64 * n_devices
+
+    # 1/2: reference-parity 6-head geometry, flagship + recipe
+    model, state, data, mesh = _setup(6, b)
+    flagship, state = _measure(state, data, [_mk_step(model, None, mesh)], b, iters=20)
+    flagship /= n_devices
+    ks = _recipe_ks()
+    steps_by_k = {k: _mk_step(model, k, mesh) for k in sorted(set(ks))}
+    for s in steps_by_k.values():
+        state, metrics = s(state, data, jax.random.key(9))
+    jax.block_until_ready(metrics["loss"])
+    recipe, _ = _measure(state, data, [steps_by_k[k] for k in ks], b,
+                         iters=len(ks), warmup=0)
+    recipe /= n_devices
+
+    # 3/4: the MXU-native dh=128 geometry (small_tpu preset), both workloads
+    model128, state128, data, mesh = _setup(3, b)
+    dh128, state128 = _measure(state128, data, [_mk_step(model128, None, mesh)],
+                               b, iters=20)
+    dh128 /= n_devices
+    steps128 = {k: _mk_step(model128, k, mesh) for k in sorted(set(ks))}
+    for s in steps128.values():
+        state128, metrics = s(state128, data, jax.random.key(9))
+    jax.block_until_ready(metrics["loss"])
+    dh128_recipe, _ = _measure(state128, data, [steps128[k] for k in ks], b,
+                               iters=len(ks), warmup=0)
+    dh128_recipe /= n_devices
 
     print(json.dumps({
         "metric": "dichavit_s_jumpcp_train_images_per_sec_per_chip",
@@ -130,6 +185,8 @@ def main():
         "recipe_vs_baseline": round(recipe / A100_RECIPE_IMGS_PER_SEC, 3),
         "mxu_native_dh128_value": round(dh128, 2),
         "mxu_native_dh128_vs_baseline": round(dh128 / A100_FLAGSHIP_IMGS_PER_SEC, 3),
+        "mxu_native_recipe_value": round(dh128_recipe, 2),
+        "mxu_native_recipe_vs_baseline": round(dh128_recipe / A100_RECIPE_IMGS_PER_SEC, 3),
     }))
 
 

@@ -28,6 +28,48 @@ class DummyLogger:
         pass
 
 
+class LocalWandb:
+    """wandb-compatible LOCAL run sink for zero-egress pods.
+
+    Presents the ``log``/``finish`` surface ``MyLogging`` uses and writes the
+    wandb on-disk layout a human (or sync tool) expects: per-run directory
+    with ``config.json``, ``wandb-history.jsonl`` (one JSON line per
+    ``log()`` call, ``_step``-stamped — wandb's history format) and a
+    ``wandb-summary.json`` of last-seen values at ``finish()``. Makes
+    ``logging/wandb.yaml`` functional without the library
+    (reference role: ``custom_log.py:48-75``).
+    """
+
+    def __init__(self, project: str, run_name: Optional[str], config: Dict):
+        import datetime
+        import os
+
+        stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+        name = run_name or f"run_{stamp}"
+        self.dir = os.path.join("wandb_local", project, name)
+        os.makedirs(self.dir, exist_ok=True)
+        with open(os.path.join(self.dir, "config.json"), "w") as f:
+            json.dump(config, f, default=str, indent=2)
+        self._history = open(os.path.join(self.dir, "wandb-history.jsonl"), "a")
+        self._step = 0
+        self._summary: Dict[str, Any] = {}
+
+    def log(self, metrics: Dict[str, Any]):
+        row = {k: v for k, v in metrics.items()}
+        row["_step"] = self._step
+        self._step += 1
+        self._history.write(json.dumps(row, default=float) + "\n")
+        self._history.flush()
+        self._summary.update(metrics)
+
+    def finish(self):
+        import os
+
+        with open(os.path.join(self.dir, "wandb-summary.json"), "w") as f:
+            json.dump(self._summary, f, default=float, indent=2)
+        self._history.close()
+
+
 class MyLogging:
     def __init__(self, cfg, *, model=None, project_name: Optional[str] = None, op: str = "w"):
         self.cfg = cfg
@@ -36,18 +78,16 @@ class MyLogging:
         self.use_py_log = bool(cfg.logging.get("use_py_log", False)) if hasattr(cfg, "logging") else False
         self.wandb = None
         if self.use_wandb:
+            project = project_name or wandb_cfg.get("project_name") or "dichavit_tpu"
+            config = cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg)
             try:
                 import wandb
 
                 self.wandb = wandb
-                wandb.init(
-                    project=project_name or wandb_cfg.get("project_name") or "dichavit_tpu",
-                    name=wandb_cfg.get("run_name"),
-                    config=cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg),
-                )
-            except Exception as e:  # offline pod: degrade silently to stdout
-                print(f"[logging] wandb unavailable ({e}); falling back to stdout")
-                self.use_wandb = False
+                wandb.init(project=project, name=wandb_cfg.get("run_name"), config=config)
+            except Exception:  # zero-egress pod: local wandb-layout jsonl sink
+                self.wandb = LocalWandb(project, wandb_cfg.get("run_name"), config)
+                print(f"[logging] wandb library unavailable; writing local run to {self.wandb.dir}")
         self.py_logger = None
         if self.use_py_log:
             self.py_logger = logging.getLogger("diverse_channel_vit_tpu")

@@ -70,14 +70,22 @@ def shard_batch(batch: Any, mesh: Mesh, *, axis: str = "data") -> Any:
     """Place a host batch pytree on the mesh, sharded along dim 0.
 
     Scalars / rank-0 leaves are replicated (e.g. per-batch PRNG keys).
+
+    Multi-host: each process passes its HOST-LOCAL batch (the loaders stride
+    the dataset per host, ``data/loaders.py``) and the global array is the
+    concatenation over processes — the reference's DDP semantics, where
+    ``train.batch_size`` is the per-rank size (``dataset_utils.py:502-598``).
     """
     data_sh = batch_sharding(mesh, axis=axis)
     repl = replicated_sharding(mesh)
+    multihost = jax.process_count() > 1
 
     def place(x):
         x = np.asarray(x) if not isinstance(x, jax.Array) else x
         if getattr(x, "ndim", 0) == 0:
             return jax.device_put(x, repl)
+        if multihost:
+            return jax.make_array_from_process_local_data(data_sh, np.asarray(x))
         return jax.device_put(x, data_sh)
 
     return jax.tree_util.tree_map(place, batch)

@@ -490,9 +490,14 @@ class Trainer:
         if chunk not in self._eval_steps:
             from .models.wrappers import bind_chunk
 
+            # Multi-host eval runs HOST-LOCAL (mesh=None): the accuracy eval
+            # loaders stride the dataset per host and _reduce_eval_counts
+            # allgather-sums the (correct, total) pairs — sharding each
+            # host's different batch over the one global mesh would be
+            # incoherent. Single-host keeps the mesh fast path.
             self._eval_steps[chunk] = make_eval_step(
                 bind_chunk(self.model, chunk) if chunk else self.model,
-                mesh=self.mesh,
+                mesh=self.mesh if jax.process_count() == 1 else None,
             )
         return self._eval_steps[chunk]
 
