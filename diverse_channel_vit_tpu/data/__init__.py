@@ -21,6 +21,7 @@ from . import synthetic  # noqa: F401  (registers "synthetic")
 from . import so2sat  # noqa: F401  (registers "so2sat_city")
 from . import jump_cp  # noqa: F401  (registers "jump_cp")
 from . import morphem70k  # noqa: F401  (registers "morphem70k")
+from . import cifar  # noqa: F401  (registers "cifar10"/"cifar100")
 
 __all__ = [
     "BatchLoader",

@@ -233,7 +233,13 @@ HPA_CLASSES = ["golgi apparatus", "microtubules", "mitochondria", "nuclear speck
 CP_CLASSES = ["BRD-A29260609", "BRD-K04185004", "BRD-K21680192", "DMSO"]
 
 
-def get_classes(dataset: str, file_name: str = "", training_chunks: Optional[List[str]] = None):
+def get_classes(dataset: str, file_name: str = "", training_chunks: Optional[List[str]] = None,
+                root_dir: str = ""):
+    if dataset in ("cifar10", "cifar100"):
+        from .cifar import load_cifar_classes
+
+        classes = load_cifar_classes(root_dir, dataset)
+        return classes, classes
     if dataset in ("Allen", "CP", "HPA", "morphem70k"):
         allen = ALLEN_V2 if "morphem70k_v2" in (file_name or "") else ALLEN_V1
         if dataset == "Allen":
@@ -307,6 +313,18 @@ def _build_split(name: str, cfg_dataset, chunk_channels, split: str, is_train: b
             img_size=cfg_dataset.get("img_size", 224),
             ssl_flag=bool(getattr(cfg_dataset, "_ssl_flag", False)) and is_train,
         )
+    if name in ("cifar10", "cifar100"):
+        # chunk values are channel IDS into in_channel_names, which may name
+        # recompositions ("red", "avg_red_green", "zero", ...)
+        names = list(cfg_dataset.in_channel_names)
+        return cls(
+            cfg_dataset.root_dir,
+            chunk_name=getattr(cfg_dataset, "_chunk_name", "train"),
+            data_channels=[names[int(i)] for i in chunk_channels],
+            split=split,
+            is_train=is_train,
+            seed=seed,
+        )
     raise ValueError(f"dataset {name} not valid!")
 
 
@@ -343,6 +361,7 @@ def get_train_val_test_loaders(
     try:
         cfg.dataset._device_augment = bool(cfg.train.get("device_augment", False))
         cfg.dataset._ssl_flag = bool(cfg.train.get("ssl", False))
+        cfg.dataset._chunk_name = chunk_name  # cifar split-json key prefix
     except Exception:
         pass
     bs = cfg.train.batch_size

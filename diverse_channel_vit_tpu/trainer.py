@@ -132,6 +132,7 @@ class Trainer:
             self.dataset_name,
             cfg.dataset.get("file_name") or "",
             training_chunks=self._training_chunk_list(),
+            root_dir=cfg.dataset.get("root_dir") or "",
         )
         if train_classes is None:
             self.num_classes = int(cfg.dataset.get("num_classes", 10))

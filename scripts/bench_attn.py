@@ -295,9 +295,55 @@ def exp_step(cfg):
                   f"{str(e)[:300]}", flush=True)
 
 
+def exp_small_k(cfg):
+    """Recipe-path regime: step throughput at small k vs per-step batch
+    (VERDICT r2 #6 — small-k HCS steps are dense-dominated)."""
+    import bench as bench_mod
+
+    for k in (2, 4):
+        for bsz in cfg.batch:
+            try:
+                model, state, data, mesh = bench_mod._setup(cfg.heads, bsz)
+                step = bench_mod._mk_step(model, k, mesh)
+                ips, _ = bench_mod._measure(state, data, [step], bsz, iters=20)
+                print(f"k={k} batch={bsz}: {ips:.1f} imgs/s "
+                      f"({bsz/ips*1e3:.1f} ms/step)", flush=True)
+            except Exception as e:
+                print(f"k={k} batch={bsz}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
+
+
+def exp_smap(cfg):
+    """shard_map wrapper overhead at mesh {data:1} vs the plain jit step —
+    the single-chip cost of the multi-chip contract (VERDICT r2 #7)."""
+    import bench as bench_mod
+    from diverse_channel_vit_tpu.parallel import make_mesh
+
+    bsz = cfg.batch[0]
+    model, state, data, _ = bench_mod._setup(cfg.heads, bsz)
+    plain = bench_mod._mk_step(model, None, None)
+    ips, state = bench_mod._measure(state, data, [plain], bsz, iters=20)
+    print(f"plain jit step:          {ips:.1f} imgs/s", flush=True)
+    mesh1 = make_mesh({"data": 1, "model": 1})
+    smap = bench_mod._mk_step(model, None, mesh1)
+    # _data_sharded is False at data=1 — force the wrapper for measurement
+    from diverse_channel_vit_tpu.training import steps as steps_mod
+
+    orig = steps_mod._data_sharded
+    steps_mod._data_sharded = lambda m: m is not None
+    try:
+        smap = bench_mod._mk_step(model, None, mesh1)
+        ips2, _ = bench_mod._measure(state, data, [smap], bsz, iters=20)
+        print(f"shard_map {{data:1}} step: {ips2:.1f} imgs/s "
+              f"(overhead {100 * (ips - ips2) / ips:+.1f}%)", flush=True)
+    finally:
+        steps_mod._data_sharded = orig
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("exp", choices=["chain", "bwd-variants", "step"])
+    ap.add_argument("exp", choices=["chain", "bwd-variants", "step", "small-k",
+                                    "smap"])
     ap.add_argument("--batch", type=int, nargs="+", default=[64])
     ap.add_argument("--n", type=int, default=1569)
     ap.add_argument("--dim", type=int, default=384)
@@ -306,7 +352,8 @@ def main():
     cfg.n_valid = cfg.n
     cfg.n_pad = -(-cfg.n // 128) * 128
     print(f"backend={jax.default_backend()} devices={len(jax.devices())}")
-    {"chain": exp_chain, "bwd-variants": exp_bwd_variants, "step": exp_step}[cfg.exp](cfg)
+    {"chain": exp_chain, "bwd-variants": exp_bwd_variants, "step": exp_step,
+     "small-k": exp_small_k, "smap": exp_smap}[cfg.exp](cfg)
 
 
 if __name__ == "__main__":

@@ -105,6 +105,44 @@ def test_sharded_grad_step_matches_unsharded():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_sharded_step_collective_count_and_volume():
+    """Communication contract of the data-parallel step (SURVEY §2.6): the
+    compiled HLO contains ONE gradient all-reduce volume per step — the
+    summed all-reduce operand bytes stay within ~1.1x of the parameter
+    bytes (grads + the small pmean'd metrics tuple) — and NO all-gathers
+    (parameters replicate; nothing is re-assembled)."""
+    import re
+
+    model = _build()
+    mesh = make_mesh({"data": -1, "model": 1})
+    state = _state(model)
+    batch = _batch(mesh)
+    step = make_train_step(model, channel_ids=range(C), k=None, loss_type="ce",
+                           extra_loss_lambda=1.0, donate=False, mesh=mesh)
+    txt = step.trace(state, batch, jax.random.key(0)).lower().compile().as_text()
+
+    lines = txt.splitlines()
+    ar_defs = [l for l in lines if re.search(r"= *\(?.*all-reduce\(", l)]
+    assert ar_defs, "expected at least one all-reduce in the sharded step"
+    ag_defs = [l for l in lines if re.search(r"= *\(?.*all-gather\(", l)]
+    assert not ag_defs, f"unexpected all-gathers: {ag_defs[:3]}"
+
+    reduced_bytes = 0
+    for l in ar_defs:
+        lhs = l.split("all-reduce(")[0]
+        for shp in re.findall(r"f32\[([\d,]*)\]", lhs):
+            n = 1
+            for d in shp.split(","):
+                if d:
+                    n *= int(d)
+            reduced_bytes += 4 * n
+    param_bytes = sum(
+        int(np.prod(x.shape)) * 4 for x in jax.tree_util.tree_leaves(state.params)
+    )
+    assert param_bytes <= reduced_bytes <= 1.15 * param_bytes, (
+        reduced_bytes, param_bytes)
+
+
 def test_sharded_eval_step_matches_unsharded():
     model = _build()
     mesh = make_mesh({"data": -1, "model": 1})
