@@ -55,7 +55,9 @@ def torch_backbone(name: str, weights_path: str):
         model.classifier[-1] = torch.nn.Identity()
         feat_dim = 768
     else:
-        raise ValueError(f"Unsupported backbone {name!r}; use resnet18|convnext|checkpoint")
+        raise ValueError(
+            f"Unsupported backbone {name!r}; use resnet18|convnext|convnext_jax|checkpoint"
+        )
     model.eval()
 
     def run(batch_np: np.ndarray) -> np.ndarray:
@@ -63,6 +65,51 @@ def torch_backbone(name: str, weights_path: str):
             return model(torch.from_numpy(batch_np)).numpy()
 
     return run, feat_dim
+
+
+def jax_convnext_backbone(weights_path: str, *, depths=(3, 3, 9, 3),
+                          dims=(96, 192, 384, 768)):
+    """TPU-native ConvNeXt feature backbone from a LOCAL timm-layout torch
+    checkpoint: stem conv + :class:`..models.convnext.ConvNeXtTrunk` with
+    :func:`..models.convnext.load_torch_convnext_state`-converted weights,
+    jitted on the accelerator (the torch paths above run on host CPU).
+    Reference role: the timm ``convnext_tiny.fb_in22k`` hub backbone in
+    ``morphem/feature_extraction.py`` — hub downloads are impossible
+    zero-egress, so the checkpoint comes from disk."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ..models.convnext import ConvNeXtTrunk, load_torch_convnext_state
+
+    obj = torch.load(weights_path, map_location="cpu", weights_only=True)
+    for key in ("state_dict", "model"):
+        if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
+            obj = obj[key]
+    sd = {k.removeprefix("module."): v for k, v in obj.items()}
+
+    trunk = ConvNeXtTrunk(depths=depths, dims=dims)
+    params = jax.jit(
+        lambda r: trunk.init(r, jnp.zeros((1, 8, 8, dims[0]), jnp.float32),
+                             train=False)["params"]
+    )(jax.random.key(0))
+    params = load_torch_convnext_state(params, sd)
+    stem_w = jnp.asarray(np.asarray(sd["stem.0.weight"]).transpose(2, 3, 1, 0))
+    stem_b = jnp.asarray(np.asarray(sd["stem.0.bias"]))
+
+    @jax.jit
+    def fwd(x):  # (B, 3, H, W) -> (B, dims[-1])
+        y = jax.lax.conv_general_dilated(
+            x.transpose(0, 2, 3, 1), stem_w, (4, 4), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + stem_b
+        y = trunk.apply({"params": params}, y, train=False)
+        return jnp.mean(y, axis=(1, 2))
+
+    def run(batch_np: np.ndarray) -> np.ndarray:
+        return np.asarray(fwd(jnp.asarray(batch_np, jnp.float32)))
+
+    return run, dims[-1]
 
 
 def get_save_features(
@@ -79,7 +126,10 @@ def get_save_features(
     ds = SingleCellDataset(root_dir, file_name=file_name, chunk_name=dataset,
                            is_train=False, img_size=img_size)
     loader = BatchLoader(ds, batch_size=batch_size, shuffle=False)
-    run, _ = torch_backbone(model, weights)
+    if model == "convnext_jax":
+        run, _ = jax_convnext_backbone(weights)
+    else:
+        run, _ = torch_backbone(model, weights)
     feats = []
     for batch in loader:
         imgs = batch["image"][batch["valid"]]

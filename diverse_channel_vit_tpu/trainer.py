@@ -94,6 +94,18 @@ class Trainer:
 
         set_gelu_exact(bool(cfg.model.get("gelu_exact", False)))
         set_fused_block(bool(cfg.model.get("fused_block", True)))
+        if dict(self.mesh.shape).get("model", 1) > 1:
+            # tensor parallelism shards the dense GEMMs via GSPMD inside the
+            # shard_map body, and GSPMD cannot partition Mosaic kernels —
+            # Pallas paths must yield to the XLA attention under TP
+            # (training/steps.py:_manual_axes)
+            set_fused_block(False)
+            if cfg.model.get("attention_impl", "auto") in ("auto", "pallas"):
+                cfg.model.attention_impl = "xla"
+            self.logger.info(
+                "model-axis TP active: Pallas fused paths disabled "
+                "(Mosaic kernels cannot be GSPMD-partitioned); using XLA attention"
+            )
 
         # -- chunk -> channel-id mapper (trainer.py:128-150) ---------------
         self.all_chunks = []

@@ -173,17 +173,31 @@ def _data_sharded(mesh) -> bool:
     return mesh is not None and dict(mesh.shape).get("data", 1) > 1
 
 
+def _manual_axes(mesh) -> frozenset:
+    """Mesh axes the shard_map treats as manual.
+
+    ``data`` always (the explicit pmean axis). Size-1 axes too: an axis
+    left automatic puts the body under GSPMD sharding propagation, and
+    Mosaic kernels refuse auto-partitioning EVEN AT SIZE 1
+    (``jax/_src/tpu_custom_call.py`` raises "Mosaic kernels cannot be
+    automatically partitioned") — measured on the real chip; the CPU test
+    mesh never caught it because those models run ``attention_impl=xla``.
+    A >1 ``model`` (TP) axis stays automatic so the Megatron shardings of
+    parallel/shardings.py apply via GSPMD — Pallas ops don't run under
+    real TP (the trainer selects the xla attention path there)."""
+    return frozenset(
+        {"data"} | {ax for ax, sz in dict(mesh.shape).items() if sz == 1}
+    )
+
+
 def _shard_map_grads(fn, mesh):
     """Wrap a ``(params, batch, rng) -> (grads, metrics)`` function in
     ``shard_map`` over the mesh's ``data`` axis.
 
     Required for multi-chip TPU: GSPMD cannot auto-partition Mosaic
-    kernels (``jax/_src/tpu_custom_call.py`` raises "Mosaic kernels cannot
-    be automatically partitioned. Please wrap ... shard_map"), so the Pallas
-    flash/fused-block kernels must run per data shard with the gradient
-    all-reduce as an explicit ``pmean`` over ICI. The ``model`` (TP) axis
-    stays automatic (``axis_names={'data'}``), so the Megatron shardings of
-    parallel/shardings.py keep working via GSPMD inside each shard."""
+    kernels, so the Pallas flash/fused-block kernels must run per data
+    shard with the gradient all-reduce as an explicit ``pmean`` over ICI
+    (see :func:`_manual_axes` for which axes are manual)."""
     from jax.sharding import PartitionSpec as P
 
     return jax.shard_map(
@@ -191,7 +205,7 @@ def _shard_map_grads(fn, mesh):
         mesh=mesh,
         in_specs=(P(), P("data"), P()),
         out_specs=(P(), P()),
-        axis_names={"data"},
+        axis_names=_manual_axes(mesh),
         check_vma=False,
     )
 
@@ -406,7 +420,7 @@ def make_eval_step(model, *, donate: bool = False, mesh=None):
             mesh=mesh,
             in_specs=(P(), P("data"), P(), ov_spec),
             out_specs=P("data"),
-            axis_names={"data"},
+            axis_names=_manual_axes(mesh),
             check_vma=False,
         )(params, x, cids, ov)
 

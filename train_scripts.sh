@@ -27,7 +27,14 @@ python main.py -m -cn so2sat_city_cfg data_chunk=so2sat_city_full tag=subchannel
 
 ### TPU-native geometry (this build's addition): the reference's 6-head
 ### ViT-S runs every attention matmul at 50% of the TPU's 128-wide MXU;
-### add ++model.num_heads=3 (head_dim 128, identical parameter count and
-### FLOPs) to any ViT recipe above for +40% training throughput on TPU
-### (measured 250 -> 347 imgs/s/chip at the JUMP-CP recipe, PERFORMANCE.md).
-# e.g.: python main.py -m -cn jump_cp_cfg ... model=dichavit ++model.num_heads=3
+### the `small_tpu` preset (`++model.pretrained_model_name=small_tpu`, or
+### equivalently `++model.num_heads=3` on the `small` preset) re-heads it
+### to head_dim 128 at IDENTICAL parameter count and FLOPs: +40% training
+### throughput measured (flagship 250 -> 347 imgs/s/chip; bench.py reports
+### both as mxu_native_dh128_value / mxu_native_recipe_value).
+### HONEST TRADE: the head partition changes the function — checkpoints
+### trained at 3x128 are NOT weight-compatible evaluations of the 6x64
+### architecture (same tree shapes, different attention grouping), so pick
+### the geometry at the START of a run; quality must be (re)validated per
+### geometry, and the reference-parity headline stays at 6 heads.
+# e.g.: python main.py -m -cn jump_cp_cfg ... model=dichavit ++model.pretrained_model_name=small_tpu
