@@ -27,9 +27,9 @@ from __graft_entry__ import _build_flagship
 TRACE_DIR = "/tmp/jax_trace"
 
 
-def build():
+def build(num_heads=6):
     n_channels, img = 8, 224
-    model = _build_flagship(img, 16, 12, 384, 6, n_channels, 161, jnp.bfloat16)
+    model = _build_flagship(img, 16, 12, 384, num_heads, n_channels, 161, jnp.bfloat16)
     lr = make_lr_schedule("cosine", 4e-4, dict(t_initial=100, warmup_t=10, warmup_lr_init=1e-5),
                           num_epochs=100, steps_per_epoch=100)
     tx = make_optimizer("adamw", dict(weight_decay=0.04), lr_schedule=lr, total_steps=10000)
@@ -44,7 +44,9 @@ def build():
 
 
 def main():
-    step, state, data = build()
+    heads = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    print('num_heads =', heads, flush=True)
+    step, state, data = build(heads)
     key = jax.random.key(1)
     for i in range(3):
         state, metrics = step(state, data, jax.random.fold_in(key, i))
