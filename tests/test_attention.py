@@ -99,3 +99,40 @@ def test_flash_packed_valid_len_matches_xla_mask():
         np.testing.assert_allclose(
             np.asarray(a[:, :n_valid]), np.asarray(bb[:, :n_valid]), atol=3e-4
         )
+
+
+def test_dense_attention_branch_masks_padded_keys():
+    """The Attention module's dense branch (attn_drop>0 in train /
+    impl=xla_capture) must mask padded keys via valid_len like the flash
+    path — zero-pad rows LayerNorm into bias-valued keys otherwise
+    (advisor round-2 medium finding)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diverse_channel_vit_tpu.models.vit import Attention
+
+    b, n_valid, n_pad, d, h = 2, 10, 16, 32, 2
+    x = jax.random.normal(jax.random.key(0), (b, n_valid, d))
+    xp = jnp.pad(x, ((0, 0), (0, n_pad - n_valid), (0, 0)))
+
+    attn = Attention(num_heads=h, impl="xla_capture")
+    params = attn.init(jax.random.key(1), x, train=False)["params"]
+
+    out_ref = attn.apply({"params": params}, x, train=False)
+    out_pad, inter = attn.apply(
+        {"params": params}, xp, train=False, valid_len=n_valid,
+        mutable=["intermediates"],
+    )
+    # valid-query rows unchanged by padding
+    np.testing.assert_allclose(np.asarray(out_pad[:, :n_valid]),
+                               np.asarray(out_ref), atol=1e-5)
+    probs = np.asarray(inter["intermediates"]["attn_probs"][0])
+    # padded KEYS receive zero attention mass from every query
+    assert probs[:, :, :, n_valid:].max() < 1e-12
+    # dropout-active train path runs the same masked dense branch (smoke)
+    attn_d = Attention(num_heads=h, attn_drop=0.5)
+    params_d = attn_d.init(jax.random.key(2), x, train=False)["params"]
+    out_d = attn_d.apply({"params": params_d}, xp, train=True,
+                         valid_len=n_valid, rngs={"dropout": jax.random.key(3)})
+    assert np.all(np.isfinite(np.asarray(out_d)))
