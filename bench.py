@@ -14,6 +14,9 @@ flash attention x12 + CDL/TDL diversity losses + AdamW, bfloat16):
    the full 128-wide systolic array instead of half of it at the
    reference's dh=64) — the TPU-native geometry, reported for both the
    flagship and recipe workloads (``small_tpu`` preset).
+4. **int8_dh128** — dh=128 with ``model.quantization=int8`` (opt-in
+   in-VMEM AQT GEMMs in the fused MLP; int8 is 2x the MXU's bf16 peak).
+   Changes training numerics, hence a separate metric.
 
 ``vs_baseline`` compares against an *estimated* A100 PyTorch reference
 (the repo publishes no numbers, BASELINE.md): ~82 GFLOPs forward/img at
@@ -176,6 +179,18 @@ def main():
                                iters=len(ks), warmup=0)
     dh128_recipe /= n_devices
 
+    # 5: opt-in int8 quantised MLP GEMMs (model.quantization=int8) on the
+    # TPU-native geometry — changes training numerics (~1e-2 rel per GEMM,
+    # loss-curve evidence in PERFORMANCE.md), so reported separately
+    from diverse_channel_vit_tpu.ops.fused_block import set_quantization
+
+    set_quantization("int8")
+    model_q, state_q, data, mesh = _setup(3, b)
+    dh128_int8, _ = _measure(state_q, data, [_mk_step(model_q, None, mesh)],
+                             b, iters=20)
+    dh128_int8 /= n_devices
+    set_quantization("none")
+
     print(json.dumps({
         "metric": "dichavit_s_jumpcp_train_images_per_sec_per_chip",
         "value": round(flagship, 2),
@@ -187,6 +202,8 @@ def main():
         "mxu_native_dh128_vs_baseline": round(dh128 / A100_FLAGSHIP_IMGS_PER_SEC, 3),
         "mxu_native_recipe_value": round(dh128_recipe, 2),
         "mxu_native_recipe_vs_baseline": round(dh128_recipe / A100_RECIPE_IMGS_PER_SEC, 3),
+        "int8_dh128_value": round(dh128_int8, 2),
+        "int8_dh128_vs_baseline": round(dh128_int8 / A100_FLAGSHIP_IMGS_PER_SEC, 3),
     }))
 
 

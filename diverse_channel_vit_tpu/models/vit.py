@@ -391,7 +391,7 @@ class _FusedAttentionCore(nn.Module):
 
     @nn.compact
     def __call__(self, y, *, x_res, valid_len):
-        from ..ops.fused_block import attend_project
+        from ..ops import fused_block as _fb
 
         c = y.shape[-1]
         head_dim = c // self.num_heads
@@ -404,7 +404,11 @@ class _FusedAttentionCore(nn.Module):
             b = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
         else:
             b = jnp.zeros((3 * c,), self.dtype)
-        return attend_project(
+        # NOTE: the proj GEMM is deliberately NOT quantised under
+        # model.quantization=int8 — measured 260.8 -> 257.8 imgs/s at dh=64
+        # (the in-kernel quant VPU work serialises into the MXU-bound
+        # attention programs) and noise at dh=128; see PERFORMANCE.md.
+        return _fb.attend_project(
             y, w, b, wp.astype(self.dtype), bp.astype(self.dtype), x_res,
             self.num_heads, self.qk_scale or head_dim**-0.5, valid_len,
         )
@@ -420,16 +424,17 @@ class _FusedMlpCore(nn.Module):
 
     @nn.compact
     def __call__(self, x, ln_scale, ln_bias, *, residual: bool):
-        from ..ops.fused_block import ln_mlp
+        from ..ops import fused_block as _fb
 
         c = x.shape[-1]
         w1, b1 = _DenseParams(c, self.hidden_features, name="fc1")()
         w2, b2 = _DenseParams(self.hidden_features, self.out_features, name="fc2")()
-        return ln_mlp(
+        return _fb.ln_mlp(
             x, ln_scale, ln_bias,
             w1.astype(self.dtype), b1.astype(self.dtype),
             w2.astype(self.dtype), b2.astype(self.dtype),
             residual,
+            _fb.quantized_default(),
         )
 
 

@@ -284,20 +284,31 @@ def _ln_mlp_bwd_impl(x, scale, bias, w1, b1, w2, do, residual):
     return outs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def ln_mlp(x, scale, bias, w1, b1, w2, b2, residual=False):
-    """fc2(tanh-GELU(fc1(LayerNorm(x)))) [+ x], one VMEM pass."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def ln_mlp(x, scale, bias, w1, b1, w2, b2, residual=False, quantized=False):
+    """fc2(tanh-GELU(fc1(LayerNorm(x)))) [+ x], one VMEM pass.
+
+    ``quantized=True`` runs the GEMMs on the MXU's 2x int8 path (dynamic
+    per-row activation scales, static per-column weight scales, int32
+    accumulation — quantisation happens in VMEM where it is free of the HBM
+    passes that refute XLA-level AQT at D=384, see PERFORMANCE.md round-3).
+    The backward quantises the fc1 recompute and both dgrad GEMMs; weight
+    grads stay bf16. Opt-in (``model.quantization=int8``): changes training
+    numerics (~1% relative error per GEMM) and is NOT reference parity."""
+    if quantized:
+        return _ln_mlp_q_fwd_impl(x, scale, bias, w1, b1, w2, b2, residual)
     return _ln_mlp_fwd_impl(x, scale, bias, w1, b1, w2, b2, residual)
 
 
-def _ln_mlp_vjp_fwd(x, scale, bias, w1, b1, w2, b2, residual):
-    out = _ln_mlp_fwd_impl(x, scale, bias, w1, b1, w2, b2, residual)
+def _ln_mlp_vjp_fwd(x, scale, bias, w1, b1, w2, b2, residual, quantized):
+    out = ln_mlp(x, scale, bias, w1, b1, w2, b2, residual, quantized)
     return out, (x, scale, bias, w1, b1, w2)
 
 
-def _ln_mlp_vjp_bwd(residual, res, do):
+def _ln_mlp_vjp_bwd(residual, quantized, res, do):
     x, scale, bias, w1, b1, w2 = res
-    dx, dw1, db1, dw2, db2, ds, db = _ln_mlp_bwd_impl(
+    impl = _ln_mlp_q_bwd_impl if quantized else _ln_mlp_bwd_impl
+    dx, dw1, db1, dw2, db2, ds, db = impl(
         x, scale, bias, w1, b1, w2, do, residual
     )
     return (
@@ -312,6 +323,218 @@ def _ln_mlp_vjp_bwd(residual, res, do):
 
 
 ln_mlp.defvjp(_ln_mlp_vjp_fwd, _ln_mlp_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# int8-quantised ln_mlp (opt-in, ``model.quantization=int8``)
+# ---------------------------------------------------------------------------
+#
+# Measured motivation (scripts/bench_int8*.py, v5e-1): int8 GEMMs at ViT-S
+# shapes run 2.1x bf16 (253 vs 120 TF/s), but XLA-level AQT loses the whole
+# gain to HBM-bound quant/dequant passes at D=384. Quantising inside the
+# kernel keeps the quant work on VMEM-resident data. The dh=64 attention
+# score matmul does NOT speed up under int8 (lane-width-bound, measured) —
+# only the wide-contraction MLP/projection GEMMs are quantised.
+
+
+def _quant_rows_f32(x):
+    """Per-row symmetric int8 quantisation of an f32 block."""
+    s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0, 1e-8)
+    return jnp.round(x / s).astype(jnp.int8), s
+
+
+def quantize_weight(w, axis):
+    """Static symmetric int8 weight quantisation along ``axis`` (XLA-side;
+    the (d, hid) reduce is ~1 MB of traffic per layer per step)."""
+    wf = w.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(wf), axis=axis, keepdims=True) / 127.0, 1e-12)
+    return jnp.round(wf / s).astype(jnp.int8), jnp.squeeze(s, axis)
+
+
+def _ln_mlp_q_fwd_kernel(x_ref, s_ref, b_ref, w1q_ref, s1c_ref, b1_ref,
+                         w2q_ref, s2c_ref, b2_ref, o_ref, *, residual):
+    xf = x_ref[0].astype(jnp.float32)
+    y, _, _ = _ln_f32(xf, s_ref[...], b_ref[...])
+    yq, ys = _quant_rows_f32(y)
+    acc = jax.lax.dot(yq, w1q_ref[...], preferred_element_type=jnp.int32)
+    h_pre = acc.astype(jnp.float32) * ys * s1c_ref[...] + b1_ref[...].astype(jnp.float32)
+    h = _gelu_tanh_f32(h_pre)
+    hq, hs = _quant_rows_f32(h)
+    acc2 = jax.lax.dot(hq, w2q_ref[...], preferred_element_type=jnp.int32)
+    out = acc2.astype(jnp.float32) * hs * s2c_ref[...] + b2_ref[...].astype(jnp.float32)
+    if residual:
+        out = out + xf
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _ln_mlp_q_fwd_impl(x, scale, bias, w1, b1, w2, b2, residual):
+    b, n, d = x.shape
+    hid = w1.shape[1]
+    w1q, s1c = quantize_weight(w1, 0)
+    w2q, s2c = quantize_weight(w2, 0)
+    bm = _pick_bm(n, 832)
+    return pl.pallas_call(
+        functools.partial(_ln_mlp_q_fwd_kernel, residual=residual),
+        grid=(b, n // bm),
+        in_specs=[
+            pl.BlockSpec((1, bm, d), lambda b_, i: (b_, i, 0)),
+            _full_spec(scale.shape),
+            _full_spec(bias.shape),
+            _full_spec(w1q.shape),
+            _full_spec(s1c.shape),
+            _full_spec(b1.shape),
+            _full_spec(w2q.shape),
+            _full_spec(s2c.shape),
+            _full_spec(b2.shape),
+        ],
+        out_specs=pl.BlockSpec((1, bm, d), lambda b_, i: (b_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        compiler_params=None if pltpu is None else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * d * hid,
+            bytes_accessed=b * n * d * 2 * 2,
+            transcendentals=b * n * hid,
+        ),
+        interpret=_interpret(),
+    )(x, scale, bias, w1q, s1c, b1, w2q, s2c, b2)
+
+
+def _ln_mlp_q_bwd_kernel(
+    x_ref, s_ref, b_ref, w1q_ref, s1c_ref, b1_ref, w1r_ref, s1r_ref,
+    w2r_ref, s2r_ref, do_ref,
+    dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, ds_ref, db_ref,
+    dw1_scr, db1_scr, dw2_scr, db2_scr, ds_scr, db_scr,
+    *, n_blocks, residual,
+):
+    i = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dw1_scr[...] = jnp.zeros_like(dw1_scr)
+        db1_scr[...] = jnp.zeros_like(db1_scr)
+        dw2_scr[...] = jnp.zeros_like(dw2_scr)
+        db2_scr[...] = jnp.zeros_like(db2_scr)
+        ds_scr[...] = jnp.zeros_like(ds_scr)
+        db_scr[...] = jnp.zeros_like(db_scr)
+
+    xf = x_ref[0].astype(jnp.float32)
+    scale = s_ref[...]
+    y, xhat, rstd = _ln_f32(xf, scale, b_ref[...])
+    # int8 recompute of fc1 — identical quantisation to the forward, so
+    # h_pre/h match the forward's values bit-for-bit
+    yq, ys = _quant_rows_f32(y)
+    acc = jax.lax.dot(yq, w1q_ref[...], preferred_element_type=jnp.int32)
+    h_pre = acc.astype(jnp.float32) * ys * s1c_ref[...] + b1_ref[...].astype(jnp.float32)
+    h = _gelu_tanh_f32(h_pre).astype(jnp.bfloat16)
+
+    do = do_ref[0]
+    dof = do.astype(jnp.float32)
+    # weight grads stay bf16 (quantised grads are the quality-risky part)
+    dw2_scr[...] += jax.lax.dot_general(
+        h, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db2_scr[...] += jnp.sum(dof, axis=0)
+    # dgrad fc2: int8 over the d-contraction (w2 pre-quantised per-row)
+    doq, dos = _quant_rows_f32(dof)
+    dh = jax.lax.dot_general(
+        doq, w2r_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * dos * s2r_ref[...]
+    dh_pre = dh * _dgelu_tanh_f32(h_pre)
+    dh_pre_b = dh_pre.astype(jnp.bfloat16)
+    dw1_scr[...] += jax.lax.dot_general(
+        y.astype(jnp.bfloat16), dh_pre_b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db1_scr[...] += jnp.sum(dh_pre, axis=0)
+    # dgrad fc1: int8 over the hid-contraction (w1 pre-quantised per-row)
+    dhq, dhs = _quant_rows_f32(dh_pre)
+    dy = jax.lax.dot_general(
+        dhq, w1r_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * dhs * s1r_ref[...]
+    ds_scr[...] += jnp.sum(dy * xhat, axis=0)
+    db_scr[...] += jnp.sum(dy, axis=0)
+    dx = _ln_bwd_f32(dy, xhat, rstd, scale)
+    if residual:
+        dx = dx + dof
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    @pl.when(i == n_blocks - 1)
+    def _store():
+        dw1_ref[...] = dw1_scr[...]
+        db1_ref[...] = db1_scr[...]
+        dw2_ref[...] = dw2_scr[...]
+        db2_ref[...] = db2_scr[...]
+        ds_ref[...] = ds_scr[...]
+        db_ref[...] = db_scr[...]
+
+
+def _ln_mlp_q_bwd_impl(x, scale, bias, w1, b1, w2, do, residual):
+    b, n, d = x.shape
+    hid = w1.shape[1]
+    w1q, s1c = quantize_weight(w1, 0)   # fc1 recompute (contract d)
+    w1r, s1r = quantize_weight(w1, 1)   # dgrad fc1 (contract hid)
+    w2r, s2r = quantize_weight(w2, 1)   # dgrad fc2 (contract d)
+    bm = _pick_bm(n, 832)
+    nb = n // bm
+    outs = pl.pallas_call(
+        functools.partial(_ln_mlp_q_bwd_kernel, n_blocks=b * nb, residual=residual),
+        grid=(b, nb),
+        in_specs=[
+            pl.BlockSpec((1, bm, d), lambda b_, i: (b_, i, 0)),
+            _full_spec(scale.shape),
+            _full_spec(bias.shape),
+            _full_spec(w1q.shape),
+            _full_spec(s1c.shape),
+            _full_spec(b1.shape),
+            _full_spec(w1r.shape),
+            _full_spec(s1r.shape),
+            _full_spec(w2r.shape),
+            _full_spec(s2r.shape),
+            pl.BlockSpec((1, bm, d), lambda b_, i: (b_, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bm, d), lambda b_, i: (b_, i, 0)),
+            _full_spec((d, hid)),
+            _full_spec((hid,)),
+            _full_spec((hid, d)),
+            _full_spec((d,)),
+            _full_spec((d,)),
+            _full_spec((d,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, d), x.dtype),
+            jax.ShapeDtypeStruct((d, hid), jnp.float32),
+            jax.ShapeDtypeStruct((hid,), jnp.float32),
+            jax.ShapeDtypeStruct((hid, d), jnp.float32),
+            jax.ShapeDtypeStruct((d,), jnp.float32),
+            jax.ShapeDtypeStruct((d,), jnp.float32),
+            jax.ShapeDtypeStruct((d,), jnp.float32),
+        ],
+        scratch_shapes=[] if pltpu is None else [
+            pltpu.VMEM((d, hid), jnp.float32),
+            pltpu.VMEM((hid,), jnp.float32),
+            pltpu.VMEM((hid, d), jnp.float32),
+            pltpu.VMEM((d,), jnp.float32),
+            pltpu.VMEM((d,), jnp.float32),
+            pltpu.VMEM((d,), jnp.float32),
+        ],
+        compiler_params=None if pltpu is None else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * n * d * hid,
+            bytes_accessed=b * n * d * 2 * 3,
+            transcendentals=2 * b * n * hid,
+        ),
+        interpret=_interpret(),
+    )(x, scale, bias, w1q, s1c, b1, w1r, s1r, w2r, s2r, do)
+    return outs
 
 
 def _project(y, w, b):
@@ -681,6 +904,22 @@ FORCE_ON_CPU = False
 def set_fused_block(enabled: bool) -> None:
     global FUSED_BLOCK_DEFAULT
     FUSED_BLOCK_DEFAULT = bool(enabled)
+
+
+# opt-in int8 GEMM quantisation for the fused MLP/projection paths
+# (``model.quantization``: "none" | "int8"); NOT reference parity
+QUANTIZATION_DEFAULT = "none"
+
+
+def set_quantization(mode: str) -> None:
+    if mode not in ("none", "int8"):
+        raise ValueError(f"unknown quantization mode: {mode!r}")
+    global QUANTIZATION_DEFAULT
+    QUANTIZATION_DEFAULT = mode
+
+
+def quantized_default() -> bool:
+    return QUANTIZATION_DEFAULT == "int8"
 
 
 def fused_block_available(dtype=None) -> bool:

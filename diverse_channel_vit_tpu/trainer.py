@@ -94,6 +94,9 @@ class Trainer:
 
         set_gelu_exact(bool(cfg.model.get("gelu_exact", False)))
         set_fused_block(bool(cfg.model.get("fused_block", True)))
+        from .ops.fused_block import set_quantization
+
+        set_quantization(str(cfg.model.get("quantization", "none")))
         if dict(self.mesh.shape).get("model", 1) > 1:
             # tensor parallelism shards the dense GEMMs via GSPMD inside the
             # shard_map body, and GSPMD cannot partition Mosaic kernels —

@@ -225,3 +225,69 @@ def test_block_fused_gate_conditions():
     fb.set_fused_block(False)
     assert not Block(num_heads=2, dtype=jnp.bfloat16)._fused_ok(x16, False)
     fb.set_fused_block(True)
+
+@pytest.mark.parametrize("residual", [False, True])
+def test_ln_mlp_int8_close_to_f32(residual):
+    """Opt-in int8 path: forward within ~2% of the f32 composition, grads
+    within ~5% (per-row dynamic scales bound the per-GEMM error at ~1/127);
+    weight grads are NOT quantised and stay tight."""
+    key = jax.random.key(21)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (B, N, D), jnp.float32)
+    s = jnp.ones((D,))
+    bi = jnp.zeros((D,))
+    w1 = _mk(jax.random.fold_in(key, 2), (D, 4 * D), jnp.float32)
+    b1 = _mk(jax.random.fold_in(key, 3), (4 * D,), jnp.float32)
+    w2 = _mk(jax.random.fold_in(key, 4), (4 * D, D), jnp.float32)
+    b2 = _mk(jax.random.fold_in(key, 5), (D,), jnp.float32)
+
+    def ref(x, s, bi, w1, b1, w2, b2):
+        h = _gelu_tanh_f32(_ln_ref(x, s, bi) @ w1 + b1)
+        o = h @ w2 + b2
+        return o + x if residual else o
+
+    got = ln_mlp(x, s, bi, w1, b1, w2, b2, residual, True)
+    assert _rel(got, ref(x, s, bi, w1, b1, w2, b2)) < 2e-2
+
+    def f_q(*a):
+        return jnp.sum(ln_mlp(*a, residual, True) ** 2)
+
+    def f_ref(*a):
+        return jnp.sum(ref(*a) ** 2)
+
+    g1 = jax.grad(f_q, argnums=tuple(range(7)))(x, s, bi, w1, b1, w2, b2)
+    g2 = jax.grad(f_ref, argnums=tuple(range(7)))(x, s, bi, w1, b1, w2, b2)
+    for a, b in zip(g1, g2):
+        assert _rel(a, b) < 5e-2
+
+
+def test_block_quantized_routing():
+    """model.quantization=int8 routes the fused MLP through the int8 kernels:
+    output stays close to the unquantised fused path, grads reach every
+    param, and the parameter tree is unchanged."""
+    from diverse_channel_vit_tpu.models.vit import Block
+
+    blk = Block(num_heads=2, dtype=jnp.bfloat16)
+    x = (jax.random.normal(jax.random.key(5), (2, 64, 128)) * 0.5).astype(jnp.bfloat16)
+    fb.FORCE_ON_CPU = True
+    p = blk.init({"params": jax.random.key(0)}, x, train=False)["params"]
+    out_plain = blk.apply({"params": p}, x, train=False)
+
+    fb.set_quantization("int8")
+    try:
+        out_q = blk.apply({"params": p}, x, train=False)
+        assert _rel(out_q, out_plain) < 5e-2
+
+        def loss(p):
+            return jnp.sum(blk.apply({"params": p}, x, train=True,
+                                     rngs={"dropout": jax.random.key(9)}).astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss)(p)
+        assert all(
+            float(jnp.linalg.norm(l.astype(jnp.float32))) > 0
+            for l in jax.tree_util.tree_leaves(g)
+        )
+    finally:
+        fb.set_quantization("none")
+
+    with pytest.raises(ValueError):
+        fb.set_quantization("fp4")
