@@ -89,6 +89,24 @@ class Attention(nn.Module):
         k = nn.Dense(c, use_bias=self.qkv_bias, kernel_init=dense_init, dtype=self.dtype, name="wk")(x)
         v = nn.Dense(c, use_bias=self.qkv_bias, kernel_init=dense_init, dtype=self.dtype, name="wv")(x)
 
+        from ..ops import ring_attention as _ring
+
+        ring = _ring.active_ring()
+        if ring is not None:
+            # sequence-parallel: tokens sharded over a mesh axis, K/V shards
+            # rotate on the ICI ring (ops/ring_attention.py). The context
+            # carries the GLOBAL key mask; the local valid_len is unused.
+            if self.attn_drop > 0.0 and train:
+                raise ValueError("attn_drop>0 train is dense-path only and "
+                                 "incompatible with sequence parallelism")
+            axis, size, global_valid = ring
+            out = _ring.ring_attention_packed(
+                q, k, v, self.num_heads, axis_name=axis, axis_size=size,
+                sm_scale=sm_scale, valid_len=global_valid,
+            )
+            out = nn.Dense(c, kernel_init=dense_init, dtype=self.dtype, name="proj")(out)
+            return nn.Dropout(self.proj_drop, deterministic=not train)(out)
+
         impl = self.impl
         if self.attn_drop > 0.0 and train:
             impl = "xla"  # attention-prob dropout only exists on the dense path
@@ -462,10 +480,12 @@ class Block(nn.Module):
     def _fused_ok(self, x, train: bool) -> bool:
         from ..ops import activations as _act
         from ..ops import fused_block as _fb
+        from ..ops import ring_attention as _ring
         from ..ops.attention import MAX_SINGLE_PASS_N
 
         return (
-            self.attention_impl in ("auto", "pallas")
+            _ring.active_ring() is None  # fused kernels see only the local shard
+            and self.attention_impl in ("auto", "pallas")
             and self.dtype == jnp.bfloat16
             and _fb.FUSED_BLOCK_DEFAULT
             and _fb.fused_block_available()

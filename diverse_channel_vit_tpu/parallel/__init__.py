@@ -14,6 +14,7 @@ from .mesh import (
     shard_batch,
     shard_params,
 )
+from .sequence import seq_parallel_apply
 from .shardings import apply_param_shardings, param_shardings
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "shard_params",
     "param_shardings",
     "apply_param_shardings",
+    "seq_parallel_apply",
 ]
