@@ -14,6 +14,7 @@ from .mesh import (
     shard_batch,
     shard_params,
 )
+from .pipeline import pipeline_apply
 from .sequence import seq_parallel_apply
 from .shardings import apply_param_shardings, param_shardings
 
@@ -26,4 +27,5 @@ __all__ = [
     "param_shardings",
     "apply_param_shardings",
     "seq_parallel_apply",
+    "pipeline_apply",
 ]
