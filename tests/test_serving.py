@@ -1,0 +1,93 @@
+"""Serving engine (serving.py): bucketed AOT compile + dynamic batching.
+
+The reference stops at offline feature extraction; the engine adds the
+deployment path. These tests pin the serving-path numerics to the plain
+forward (padding to a bucket must not change any real row) and the
+micro-batcher's request/response plumbing.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diverse_channel_vit_tpu.serving import ServingEngine
+
+C, IMG, PATCH = 4, 32, 16
+
+
+def _build():
+    from diverse_channel_vit_tpu.models.channel_vit import ChannelVisionTransformer
+    from diverse_channel_vit_tpu.models.wrappers import ChannelAdaptiveClassifier
+
+    backbone = ChannelVisionTransformer(
+        num_total_channels=C, img_size=IMG, patch_size=PATCH, embed_dim=64,
+        depth=2, num_heads=2, attention_impl="xla",
+    )
+    return ChannelAdaptiveClassifier(backbone=backbone, embed_dim=64,
+                                     num_classes=5, with_head=True)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    model = _build()
+    x0 = jnp.zeros((2, C, IMG, IMG), jnp.float32)
+    params = jax.jit(
+        lambda r: model.init({"params": r}, x0, jnp.arange(C), train=False)["params"]
+    )(jax.random.key(0))
+    # fp32 activations on CPU so the parity check against the plain
+    # forward is exact
+    return ServingEngine(model, params, buckets=(1, 4, 8), max_wait_ms=20.0,
+                         dtype=jnp.float32), model, params
+
+
+def test_predict_matches_plain_forward(engine):
+    eng, model, params = engine
+    imgs = np.random.default_rng(1).normal(size=(3, C, IMG, IMG)).astype(np.float32)
+    got = eng.predict(imgs, list(range(C)))
+    want, _ = model.apply({"params": params}, jnp.asarray(imgs),
+                          jnp.arange(C), train=False)
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-5, rtol=1e-5)
+    assert got.shape == (3, 5)
+
+
+def test_predict_channel_subset_and_split(engine):
+    """k=2 subset request; 10 images split across the 8-bucket + 4-bucket."""
+    eng, model, params = engine
+    imgs = np.random.default_rng(2).normal(size=(10, 2, IMG, IMG)).astype(np.float32)
+    cids = [1, 3]
+    got = eng.predict(imgs, cids)
+    want, _ = model.apply({"params": params}, jnp.asarray(imgs),
+                          jnp.asarray(cids), train=False)
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+def test_warmup_compiles_all_buckets(engine):
+    eng, _, _ = engine
+    eng.warmup(range(C), (IMG, IMG))
+    keys = {k[0] for k in eng._compiled if k[1] == tuple(range(C))}
+    assert keys == {1, 4, 8}
+
+
+def test_dynamic_batcher_roundtrip(engine):
+    """Each submitted image gets ITS OWN row back, across mixed channel
+    subsets in one queue."""
+    eng, model, params = engine
+    rng = np.random.default_rng(3)
+    imgs_full = rng.normal(size=(6, C, IMG, IMG)).astype(np.float32)
+    imgs_sub = rng.normal(size=(2, 2, IMG, IMG)).astype(np.float32)
+    eng.start()
+    try:
+        futs = [eng.submit(im, range(C)) for im in imgs_full]
+        futs += [eng.submit(im, [0, 2]) for im in imgs_sub]
+        rows = [f.result(timeout=120) for f in futs]
+    finally:
+        eng.stop()
+    want_full, _ = model.apply({"params": params}, jnp.asarray(imgs_full),
+                               jnp.arange(C), train=False)
+    want_sub, _ = model.apply({"params": params}, jnp.asarray(imgs_sub),
+                              jnp.asarray([0, 2]), train=False)
+    for row, want in zip(rows, list(np.asarray(want_full)) + list(np.asarray(want_sub))):
+        np.testing.assert_allclose(row, want, atol=1e-5, rtol=1e-5)
+    s = eng.stats.summary()
+    assert s["n_images"] == 8 and s["p50_ms"] > 0
