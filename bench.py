@@ -88,6 +88,16 @@ def _mk_step(model, k, mesh):
     )
 
 
+def _sync(metrics):
+    """Drain the device queue. On axon, ``jax.block_until_ready`` can return
+    before queued work (e.g. warm-up compiles) finishes; a host readback is
+    the only reliable barrier (CLAUDE.md), else compile time bleeds into the
+    timed region."""
+    import jax.numpy as jnp
+
+    return float(jnp.sum(metrics["loss"]))
+
+
 def _measure(state, data, steps, batch, iters, warmup=3):
     import jax
 
@@ -96,11 +106,11 @@ def _measure(state, data, steps, batch, iters, warmup=3):
     for i in range(warmup):
         state, metrics = steps[i % len(steps)](state, data, jax.random.fold_in(key, i))
     if warmup:
-        jax.block_until_ready(metrics["loss"])
+        _sync(metrics)
     t0 = time.perf_counter()
     for i in range(iters):
         state, metrics = steps[i % len(steps)](state, data, jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready(metrics["loss"])
+    _sync(metrics)
     return batch * iters / (time.perf_counter() - t0), state
 
 
@@ -138,7 +148,7 @@ def recipe_imgs_per_sec(num_heads: int = 6, batch: int = 64):
     # warm every specialization once (compile), then measure the mixture
     for s in steps_by_k.values():
         state, metrics = s(state, data, jax.random.key(9))
-    jax.block_until_ready(metrics["loss"])
+    _sync(metrics)
     ips, _ = _measure(state, data, [steps_by_k[k] for k in ks],
                       batch * n_devices, iters=len(ks), warmup=0)
     return ips / n_devices
@@ -161,7 +171,7 @@ def main():
     steps_by_k = {k: _mk_step(model, k, mesh) for k in sorted(set(ks))}
     for s in steps_by_k.values():
         state, metrics = s(state, data, jax.random.key(9))
-    jax.block_until_ready(metrics["loss"])
+    _sync(metrics)
     recipe, _ = _measure(state, data, [steps_by_k[k] for k in ks], b,
                          iters=len(ks), warmup=0)
     recipe /= n_devices
@@ -174,7 +184,7 @@ def main():
     steps128 = {k: _mk_step(model128, k, mesh) for k in sorted(set(ks))}
     for s in steps128.values():
         state128, metrics = s(state128, data, jax.random.key(9))
-    jax.block_until_ready(metrics["loss"])
+    _sync(metrics)
     dh128_recipe, _ = _measure(state128, data, [steps128[k] for k in ks], b,
                                iters=len(ks), warmup=0)
     dh128_recipe /= n_devices

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 import os
+import shutil
 import time
 from typing import Dict, Optional
 
@@ -368,7 +369,54 @@ class Trainer:
                 name=os.path.basename(cfg.train.resume_model),
             )
             self.start_epoch = last_epoch + 1
+            self._place_state_on_mesh()
             self.logger.info(f"resumed from {cfg.train.resume_model} at epoch {last_epoch}")
+        # preemption recovery (training/preemption.py): the regular run dirs
+        # are timestamped, so the SIGTERM checkpoint lives at a stable
+        # (dataset, seed) path that the next launch finds automatically
+        self.preempt_dir = os.path.join(
+            cfg.train.get("checkpoints", "checkpoints"), self.dataset_name,
+            f"preempt--seed{self.seed}",
+        )
+        self._preempt_guard = None
+        self._epoch_interrupted = False
+        if (
+            cfg.train.get("auto_resume", True)
+            and self.start_epoch == 1
+            and os.path.isdir(os.path.join(self.preempt_dir, "model_preempt"))
+        ):
+            self.state, last_epoch = load_checkpoint(
+                self.preempt_dir, self.state, name="model_preempt"
+            )
+            self.start_epoch = last_epoch + 1
+            self._place_state_on_mesh()
+            self.logger.info(
+                f"auto-resumed from preemption checkpoint at epoch {last_epoch} "
+                f"({self.preempt_dir})"
+            )
+
+    def _place_state_on_mesh(self):
+        """Orbax-restored arrays come back *committed* to one device; re-apply
+        the placement a fresh state gets (replicated, or TP param shardings —
+        the TP regexes match mu/nu leaves too since they share param paths),
+        else the jitted step sees incompatible committed devices."""
+        if self.n_devices <= 1:
+            return
+        if self.mesh.shape.get("model", 1) > 1:
+            from .parallel import apply_param_shardings
+
+            params = apply_param_shardings(self.state.params, self.mesh)
+            opt_state = apply_param_shardings(self.state.opt_state, self.mesh)
+        else:
+            params = shard_params(self.state.params, self.mesh)
+            opt_state = shard_params(self.state.opt_state, self.mesh)
+        aux = shard_params(
+            {"step": self.state.step, "base_rng": self.state.base_rng}, self.mesh
+        )
+        self.state = self.state.replace(
+            params=params, opt_state=opt_state,
+            step=aux["step"], base_rng=aux["base_rng"],
+        )
 
     # ------------------------------------------------------------------
     # setup helpers
@@ -530,6 +578,13 @@ class Trainer:
         timer = Timer()
         best_acc = 0.0
         best_epoch = 0
+        from .training.preemption import PreemptionGuard
+
+        try:
+            self._preempt_guard = PreemptionGuard().install()
+        except ValueError:
+            # signal.signal outside the main thread — run unguarded
+            self._preempt_guard = PreemptionGuard()
         # optional JAX profiler trace of the first post-compile epoch
         # (SURVEY §5: the TPU answer to the reference's ad-hoc timers)
         profile_dir = self.cfg.train.get("profile_dir")
@@ -548,7 +603,22 @@ class Trainer:
         if not self.debug and not self.cfg.eval.get("skip_eval_first_epoch", False):
             pass  # reference evaluates before training only in some modes
         for epoch in range(self.start_epoch, self.total_epochs + 1):
+            self._epoch_interrupted = False
             train_metrics = self.train_one_epoch(epoch)
+            if self._preempt_guard.triggered:
+                # a partially-run epoch is dropped and re-run on resume;
+                # state.step keeps its mid-epoch value so step-indexed
+                # schedules only ever advance (a few steps of lr skew,
+                # never a rewind)
+                completed = epoch - 1 if self._epoch_interrupted else epoch
+                self._save_preempt(completed)
+                if profile_dir:
+                    jax.profiler.stop_trace()
+                self._preempt_guard.restore()
+                self.logger.finish(
+                    f"preempted during epoch {epoch}; checkpoint saved for auto-resume"
+                )
+                return best_acc
             self.logger.info({f"train/{k}": v for k, v in train_metrics.items()}
                              | {"epoch": epoch, "lr": float(self.lr_schedule(self.state.step))},
                              pref_msg=f"[epoch {epoch}/{self.total_epochs}]")
@@ -583,8 +653,28 @@ class Trainer:
             # adopt the averaged weights (trainer.py:1334-1336; no BN to refresh)
             self.state = self.state.replace(params=self.swa_params)
             self.logger.info(f"adopted SWA weights (averaged over {self.swa_n} updates)")
+        self._preempt_guard.restore()
+        if jax.process_index() == 0:
+            # clean finish: the stable-path SIGTERM checkpoint must not
+            # shadow the next fresh launch of this (dataset, seed)
+            shutil.rmtree(self.preempt_dir, ignore_errors=True)
         self.logger.finish(f"training done: best_acc={best_acc:.4f} (epoch {best_epoch})")
         return best_acc
+
+    def _save_preempt(self, last_completed_epoch: int):
+        """SIGTERM checkpoint to the stable preempt path (process 0 only);
+        the next launch of the same (dataset, seed) auto-resumes from it."""
+        if jax.process_index() != 0 or self.debug:
+            return
+        save_checkpoint(
+            self.preempt_dir, self.state, epoch=max(int(last_completed_epoch), 0),
+            config=self.cfg.to_dict() if hasattr(self.cfg, "to_dict") else None,
+            name="model_preempt",
+        )
+        self.logger.info(
+            f"preemption checkpoint saved (last completed epoch "
+            f"{last_completed_epoch}) -> {self.preempt_dir}"
+        )
 
     def _swa_update(self):
         """AveragedModel.update_parameters equal-average (``trainer.py:810-812``)."""
@@ -618,6 +708,11 @@ class Trainer:
         t_first_step_done = None  # exclude the first step (compile) from imgs/sec
         for i, batch in enumerate(loader_iter):
             if i >= max_batches:
+                break
+            if self._preempt_guard is not None and self._preempt_guard.triggered:
+                # step boundaries are the only safe interruption points —
+                # a jitted step must run to completion
+                self._epoch_interrupted = True
                 break
             if loader_key == SHUFFLE_ALL:
                 metrics = self._train_one_batch_morphem(batch)

@@ -1,0 +1,127 @@
+"""Preemption-safe training: SIGTERM -> checkpoint at a step boundary ->
+auto-resume on the next launch of the same (dataset, seed).
+
+The reference has no failure-handling story (SURVEY §5); this is the
+TPU-pool answer (spot VMs preempt with SIGTERM + grace window)."""
+
+import os
+import signal
+
+import numpy as np
+import pytest
+
+from diverse_channel_vit_tpu.config import load_config
+from diverse_channel_vit_tpu.trainer import Trainer
+from diverse_channel_vit_tpu.training.preemption import PreemptionGuard
+
+
+def _cfg(tmp_path, extra=()):
+    return load_config(
+        "synthetic_cfg",
+        [
+            "train.num_epochs=3",
+            "scheduler=none",
+            "train.batch_size=16",
+            "dataset.num_train_samples=48",
+            "dataset.num_eval_samples=32",
+            f"train.checkpoints={tmp_path}/ckpt",
+            "hardware.num_workers=0",
+            "model.attention_impl=xla",
+            "++eval.skip_eval_first_epoch=True",
+            "++eval.only_eval_first_and_last=True",
+            *extra,
+        ],
+    )
+
+
+# ---------------------------------------------------------------- guard unit
+
+
+def test_guard_catches_sigterm_and_restores():
+    guard = PreemptionGuard()
+    with guard:
+        assert not guard.triggered
+        os.kill(os.getpid(), signal.SIGTERM)  # would kill us if unhandled
+        assert guard.triggered
+    # handler restored (default disposition again)
+    assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL
+
+
+def test_guard_chains_previous_handler():
+    seen = []
+    prev = signal.signal(signal.SIGTERM, lambda s, f: seen.append(s))
+    try:
+        with PreemptionGuard() as guard:
+            os.kill(os.getpid(), signal.SIGTERM)
+            assert guard.triggered
+            assert seen == [signal.SIGTERM]
+        assert signal.getsignal(signal.SIGTERM).__name__ == "<lambda>"
+    finally:
+        signal.signal(signal.SIGTERM, prev)
+
+
+# ------------------------------------------------------------- trainer paths
+
+
+def test_preempt_at_epoch_boundary_then_auto_resume(tmp_path, monkeypatch):
+    cfg = _cfg(tmp_path)
+    t1 = Trainer(cfg)
+
+    orig = Trainer.train_one_epoch
+
+    def epoch_then_sigterm(self, epoch):
+        out = orig(self, epoch)
+        if epoch == 1:
+            os.kill(os.getpid(), signal.SIGTERM)
+        return out
+
+    monkeypatch.setattr(Trainer, "train_one_epoch", epoch_then_sigterm)
+    t1.train()
+    monkeypatch.setattr(Trainer, "train_one_epoch", orig)
+
+    assert os.path.isdir(os.path.join(t1.preempt_dir, "model_preempt"))
+    # handlers restored on the preempted exit path too
+    assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL
+
+    t2 = Trainer(_cfg(tmp_path))  # same checkpoints root + seed
+    assert t2.start_epoch == 2  # epoch 1 completed, resume at 2
+    assert int(t2.state.step) == int(t1.state.step)
+    np.testing.assert_array_equal(
+        np.asarray(t1.state.params["backbone"]["channel_embed"]),
+        np.asarray(t2.state.params["backbone"]["channel_embed"]),
+    )
+    # resumed run finishes cleanly and clears the stable-path checkpoint
+    t2.train()
+    assert not os.path.isdir(t2.preempt_dir)
+    t3 = Trainer(_cfg(tmp_path))
+    assert t3.start_epoch == 1  # fresh launch, nothing to shadow it
+
+
+def test_preempt_mid_epoch_drops_partial_epoch(tmp_path, monkeypatch):
+    cfg = _cfg(tmp_path)
+    t1 = Trainer(cfg)
+
+    orig = Trainer._train_one_batch_regular
+
+    def batch_then_trigger(self, batch):
+        out = orig(self, batch)
+        self._preempt_guard.trigger()  # programmatic preemption after batch 1
+        return out
+
+    monkeypatch.setattr(Trainer, "_train_one_batch_regular", batch_then_trigger)
+    t1.train()
+
+    # epoch 1 never completed -> saved as "0 epochs done", re-run from 1
+    t2 = Trainer(_cfg(tmp_path))
+    assert t2.start_epoch == 1
+    # but the optimizer step taken before the SIGTERM is not lost
+    assert int(t2.state.step) == int(t1.state.step) >= 1
+
+
+def test_auto_resume_opt_out(tmp_path, monkeypatch):
+    t1 = Trainer(_cfg(tmp_path))
+    t1._preempt_guard = PreemptionGuard()
+    t1._save_preempt(2)
+    assert os.path.isdir(os.path.join(t1.preempt_dir, "model_preempt"))
+    t2 = Trainer(_cfg(tmp_path, extra=["++train.auto_resume=False"]))
+    assert t2.start_epoch == 1
