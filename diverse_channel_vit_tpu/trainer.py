@@ -1120,6 +1120,9 @@ class Trainer:
         policy = self.cfg.train.get("save_model", "last")
         if policy in (None, "none", "~"):
             return
+        if policy == "best":
+            # parity: the reference raises too (trainer.py:364-365)
+            raise NotImplementedError("save_model='best' not implemented yet")
         if policy == "last" and epoch != self.total_epochs:
             return
         if isinstance(policy, str) and policy.startswith("every"):
