@@ -40,7 +40,7 @@ from .training import (
     make_lr_schedule,
     make_optimizer,
 )
-from .training.checkpoint import load_checkpoint, save_checkpoint
+from .training.checkpoint import load_checkpoint, save_checkpoint, wait_for_checkpoints
 from .training.state import param_count
 from .training.steps import (
     make_apply_step,
@@ -612,6 +612,7 @@ class Trainer:
                 # never a rewind)
                 completed = epoch - 1 if self._epoch_interrupted else epoch
                 self._save_preempt(completed)
+                wait_for_checkpoints()  # plus any in-flight async epoch save
                 if profile_dir:
                     jax.profiler.stop_trace()
                 self._preempt_guard.restore()
@@ -654,6 +655,7 @@ class Trainer:
             self.state = self.state.replace(params=self.swa_params)
             self.logger.info(f"adopted SWA weights (averaged over {self.swa_n} updates)")
         self._preempt_guard.restore()
+        wait_for_checkpoints()  # commit any in-flight async epoch saves
         if jax.process_index() == 0:
             # clean finish: the stable-path SIGTERM checkpoint must not
             # shadow the next fresh launch of this (dataset, seed)
@@ -1134,4 +1136,8 @@ class Trainer:
             self.checkpoints, self.state, epoch=epoch, accuracy=accuracy,
             config=self.cfg.to_dict() if hasattr(self.cfg, "to_dict") else None,
             name=name,
+            # async: the save returns once the arrays are copied off-device
+            # (donation-safe) and commits on a background thread while the
+            # next epoch trains; train() waits before finishing
+            wait=not bool(self.cfg.train.get("async_checkpoint", False)),
         )

@@ -18,6 +18,25 @@ import jax
 import orbax.checkpoint as ocp
 
 
+_ASYNC_CKPTR: dict = {}
+
+
+def _async_checkpointer():
+    """Process-wide AsyncCheckpointer: serializes to host synchronously,
+    writes to disk on a background thread so the train loop keeps running
+    through the save (``train.async_checkpoint=True``)."""
+    if "c" not in _ASYNC_CKPTR:
+        _ASYNC_CKPTR["c"] = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR["c"]
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every in-flight async save has committed. Call before
+    process exit and before any load of a just-saved checkpoint."""
+    if "c" in _ASYNC_CKPTR:
+        _ASYNC_CKPTR["c"].wait_until_finished()
+
+
 def save_checkpoint(
     directory: str,
     state,
@@ -26,15 +45,24 @@ def save_checkpoint(
     accuracy: float = 0.0,
     config: Optional[dict] = None,
     name: str = "model_last",
+    wait: bool = True,
 ) -> str:
     path = os.path.abspath(os.path.join(directory, name))
     os.makedirs(directory, exist_ok=True)
-    ckpt = ocp.StandardCheckpointer()
     # fully materialize on host before save (works for sharded arrays too)
     tree = {"params": state.params, "opt_state": state.opt_state, "step": state.step,
             "base_rng": state.base_rng}
-    ckpt.save(path, tree, force=True)
-    ckpt.wait_until_finished()
+    if wait:
+        ckpt = ocp.StandardCheckpointer()
+        ckpt.save(path, tree, force=True)
+        ckpt.wait_until_finished()
+    else:
+        # the previous save to the same path must have committed first
+        # (orbax writes to a tmp dir and renames, so `path` only ever
+        # holds complete checkpoints)
+        ckpt = _async_checkpointer()
+        ckpt.wait_until_finished()
+        ckpt.save(path, args=ocp.args.StandardSave(tree), force=True)
     meta = {"epoch": int(epoch), "accuracy": float(accuracy), "config": config or {}}
     with open(os.path.join(directory, f"{name}.meta.json"), "w") as f:
         json.dump(meta, f)

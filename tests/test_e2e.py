@@ -112,6 +112,29 @@ def test_convnext_through_trainer(tmp_path):
     assert "valid/accuracy" in res
 
 
+def test_async_checkpointing(tmp_path):
+    """``train.async_checkpoint=True`` commits every epoch save on the
+    background thread; train() waits before finishing, so the checkpoints
+    are durable and identical to the live state."""
+    cfg = _cfg(tmp_path, extra=[
+        "++train.async_checkpoint=True", "train.num_epochs=2",
+        "train.save_model=every-1",
+    ])
+    t = Trainer(cfg)
+    t.train()
+    from diverse_channel_vit_tpu.training.checkpoint import load_checkpoint
+
+    st, ep = load_checkpoint(t.checkpoints, t.state, name="model_epoch2")
+    assert ep == 2
+    np.testing.assert_array_equal(
+        np.asarray(st.params["backbone"]["channel_embed"]),
+        np.asarray(t.state.params["backbone"]["channel_embed"]),
+    )
+    # the mid-run save committed too
+    st1, ep1 = load_checkpoint(t.checkpoints, t.state, name="model_epoch1")
+    assert ep1 == 1
+
+
 def test_scan_blocks_checkpoint_roundtrip(tmp_path):
     """Checkpoint save/restore with the stacked (scan) parameter layout."""
     cfg = _cfg(tmp_path, extra=["++model.scan_blocks=True", "train.num_epochs=1"])
