@@ -91,3 +91,68 @@ def test_dynamic_batcher_roundtrip(engine):
         np.testing.assert_allclose(row, want, atol=1e-5, rtol=1e-5)
     s = eng.stats.summary()
     assert s["n_images"] == 8 and s["p50_ms"] > 0
+
+
+def test_http_server_roundtrip(engine):
+    """HTTP front (serving_http.py): JSON batch, JSON single-image through
+    the micro-batcher, npy body, stats and error paths."""
+    import io
+    import json
+    import urllib.request
+
+    from diverse_channel_vit_tpu.serving_http import ServingHTTPServer
+
+    eng, model, params = engine
+    rng = np.random.default_rng(7)
+    imgs = rng.normal(size=(3, C, IMG, IMG)).astype(np.float32)
+    want, _ = model.apply({"params": params}, jnp.asarray(imgs),
+                          jnp.arange(C), train=False)
+
+    with ServingHTTPServer(eng, port=0) as srv:
+        base = f"http://127.0.0.1:{srv.port}"
+
+        def post(path, data, headers):
+            req = urllib.request.Request(base + path, data=data, headers=headers)
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return r.headers.get("Content-Type"), r.read()
+
+        # JSON batch -> synchronous bucketed path
+        _, body = post("/v1/predict",
+                       json.dumps({"channels": list(range(C)),
+                                   "images": imgs.tolist()}).encode(),
+                       {"Content-Type": "application/json"})
+        got = np.asarray(json.loads(body)["outputs"], np.float32)
+        np.testing.assert_allclose(got, np.asarray(want), atol=1e-4, rtol=1e-4)
+
+        # JSON single image -> dynamic micro-batcher
+        _, body = post("/v1/predict",
+                       json.dumps({"channels": list(range(C)),
+                                   "images": imgs[0].tolist()}).encode(),
+                       {"Content-Type": "application/json"})
+        got1 = np.asarray(json.loads(body)["outputs"], np.float32)
+        np.testing.assert_allclose(got1, np.asarray(want)[0], atol=1e-4, rtol=1e-4)
+
+        # npy body in, npy body out
+        buf = io.BytesIO(); np.save(buf, imgs)
+        ctype, body = post("/v1/predict", buf.getvalue(),
+                           {"Content-Type": "application/x-npy",
+                            "X-Channels": ",".join(str(c) for c in range(C))})
+        assert ctype == "application/x-npy"
+        got_npy = np.load(io.BytesIO(body))
+        np.testing.assert_allclose(got_npy, np.asarray(want), atol=1e-4, rtol=1e-4)
+
+        # stats + health
+        with urllib.request.urlopen(base + "/v1/stats", timeout=30) as r:
+            s = json.loads(r.read())
+        assert s["n_images"] >= 1
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            assert json.loads(r.read())["status"] == "ok"
+
+        # malformed request -> 400, server survives
+        try:
+            post("/v1/predict", b"{bad json", {"Content-Type": "application/json"})
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            assert r.status == 200
