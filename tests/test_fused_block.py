@@ -291,3 +291,103 @@ def test_block_quantized_routing():
 
     with pytest.raises(ValueError):
         fb.set_quantization("fp4")
+
+
+# ---------------------------------------------------------------------------
+# Geometry property sweep: every (embed_dim, heads, seq, valid_len) the gate
+# accepts must produce fused == unfused numerics. Covers the head widths the
+# gate admits (dh 64 / 128 / 192), ragged sequence lengths (n % 8 == 0 but
+# not a q-block multiple), key-side padding via valid_len, and single-head.
+# Guards the class of bug ADVICE r2 found (a gate admitting a geometry the
+# kernels were never exercised at).
+# ---------------------------------------------------------------------------
+
+GEOMETRIES = [
+    # (dim, heads, n, valid_len)   -> dh
+    (128, 1, 64, None),    # 128, single head
+    (128, 2, 40, None),    # 64, ragged n
+    (256, 4, 64, 50),      # 64, padded keys
+    (256, 2, 72, None),    # 128, ragged n
+    (384, 6, 64, None),    # 64, flagship width
+    (384, 3, 64, 37),      # 128, MXU-native + padding
+    (384, 2, 64, None),    # 192
+    (512, 4, 48, None),    # 128
+]
+
+
+@pytest.mark.parametrize("dim,heads,n,valid_len", GEOMETRIES)
+def test_block_fused_geometry_sweep(dim, heads, n, valid_len):
+    from diverse_channel_vit_tpu.models.vit import Block
+
+    blk = Block(num_heads=heads, dtype=jnp.bfloat16)
+    x = (jax.random.normal(jax.random.key(dim + heads + n), (2, n, dim)) * 0.5
+         ).astype(jnp.bfloat16)
+    if valid_len is not None:
+        x = x.at[:, valid_len:].set(0.0)
+
+    assert blk._fused_ok(x, False), "gate must accept this geometry"
+    p = blk.init({"params": jax.random.key(0)}, x, train=False)["params"]
+    out_fused = blk.apply({"params": p}, x, train=False, valid_len=valid_len)
+
+    fb.FORCE_ON_CPU = False
+    out_dense = blk.apply({"params": p}, x, train=False, valid_len=valid_len)
+    fb.FORCE_ON_CPU = True
+
+    v = valid_len if valid_len is not None else n
+    assert _rel(out_fused[:, :v], out_dense[:, :v]) < 3e-2
+
+
+@pytest.mark.parametrize("dim,heads,n,valid_len", [(128, 2, 40, None),
+                                                   (384, 2, 64, 50)])
+def test_block_fused_geometry_grads(dim, heads, n, valid_len):
+    """Grads agree between the fused custom-vjp path and the dense path at
+    off-default geometries (incl. dh=192 and padded ragged keys)."""
+    from diverse_channel_vit_tpu.models.vit import Block
+
+    blk = Block(num_heads=heads, dtype=jnp.bfloat16)
+    x = (jax.random.normal(jax.random.key(7), (2, n, dim)) * 0.5
+         ).astype(jnp.bfloat16)
+    if valid_len is not None:
+        x = x.at[:, valid_len:].set(0.0)
+    p = blk.init({"params": jax.random.key(1)}, x, train=False)["params"]
+    v = valid_len if valid_len is not None else n
+
+    def loss(p):
+        out = blk.apply({"params": p}, x, train=False, valid_len=valid_len)
+        return jnp.sum(out[:, :v].astype(jnp.float32) ** 2)
+
+    g_fused = jax.grad(loss)(p)
+    fb.FORCE_ON_CPU = False
+    g_dense = jax.grad(loss)(p)
+    fb.FORCE_ON_CPU = True
+
+    flat_f, _ = jax.tree_util.tree_flatten(g_fused)
+    flat_d, _ = jax.tree_util.tree_flatten(g_dense)
+    # near-zero leaves (LN biases whose grads nearly cancel) are dominated by
+    # bf16 quantisation in the dense path; give them an absolute floor tied
+    # to the global gradient scale
+    gscale = max(float(jnp.max(jnp.abs(b.astype(jnp.float32)))) for b in flat_d)
+    for a, b in zip(flat_f, flat_d):
+        a32, b32 = a.astype(jnp.float32), b.astype(jnp.float32)
+        err = float(jnp.max(jnp.abs(a32 - b32)))
+        assert err < 5e-2 * float(jnp.max(jnp.abs(b32))) + 5e-3 * gscale
+
+
+def test_block_fused_train_drop_path_branch():
+    """train=True with drop_path > 0 takes the fused non-fused-residual
+    branch (attend_project without x_res, ln_mlp without residual); the same
+    rng stream drives DropPath in both paths, so outputs must match."""
+    from diverse_channel_vit_tpu.models.vit import Block
+
+    blk = Block(num_heads=2, drop_path=0.3, dtype=jnp.bfloat16)
+    x = (jax.random.normal(jax.random.key(5), (4, 64, 256)) * 0.5
+         ).astype(jnp.bfloat16)
+    assert blk._fused_ok(x, True)
+    p = blk.init({"params": jax.random.key(2)}, x, train=False)["params"]
+
+    rngs = {"dropout": jax.random.key(11)}
+    out_fused = blk.apply({"params": p}, x, train=True, rngs=rngs)
+    fb.FORCE_ON_CPU = False
+    out_dense = blk.apply({"params": p}, x, train=True, rngs=rngs)
+    fb.FORCE_ON_CPU = True
+    assert _rel(out_fused, out_dense) < 3e-2
