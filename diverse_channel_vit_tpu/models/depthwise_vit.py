@@ -72,6 +72,11 @@ class DepthwiseViT(nn.Module):
         )
         wk = jnp.take(bank, channel_ids, axis=0).astype(self.dtype)  # (C, p*p, D)
         patches = extract_patches(x.astype(self.dtype), p)  # (B, C, N, p*p)
+        if jax.default_backend() == "cpu" and self.dtype != jnp.float32:
+            # XLA:CPU's batched DotThunk cannot execute BF16xBF16=F32 (the
+            # c-batched dot below); upcast there. TPU keeps bf16 MXU inputs
+            # with f32 accumulation.
+            patches, wk = patches.astype(jnp.float32), wk.astype(jnp.float32)
         tokens = jnp.einsum(
             "bcnp,cpd->bcnd", patches, wk, preferred_element_type=jnp.float32
         ).astype(self.dtype)  # (B, C, N, D)

@@ -72,13 +72,16 @@ class TemplateMixingViT(nn.Module):
         )  # (C, T)
         kernels = jnp.einsum("ct,othw->ochw", coefs, bank)  # (dim_out, C, k, k)
 
+        # stem conv stays f32: negligible FLOPs next to the trunk, and the
+        # conv transpose rule rejects bf16 operands against the f32
+        # accumulator cotangent (preferred_element_type=f32 + bf16 inputs
+        # breaks under jax.grad on every backend)
         y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernels.astype(self.dtype),
+            x.astype(jnp.float32),
+            kernels.astype(jnp.float32),
             window_strides=(p, p),
             padding="VALID",
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            preferred_element_type=jnp.float32,
         ).astype(self.dtype)  # (B, dim_out, h', w')
         h0, w0 = y.shape[2], y.shape[3]
         tokens = y.reshape(b, dim_out, h0 * w0).transpose(0, 2, 1)

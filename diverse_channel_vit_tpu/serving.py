@@ -32,6 +32,7 @@ import bisect
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 from typing import Optional, Sequence
@@ -45,7 +46,8 @@ __all__ = ["ServingEngine", "ServingStats"]
 
 @dataclass
 class ServingStats:
-    latencies_s: list = field(default_factory=list)
+    # bounded window: a long-lived server must not grow per-request state
+    latencies_s: "deque" = field(default_factory=lambda: deque(maxlen=4096))
     n_images: int = 0
     n_flushes: int = 0
     started: float = field(default_factory=time.perf_counter)
@@ -178,6 +180,14 @@ class ServingEngine:
         if self._collector is not None:
             self._collector.join()
             self._collector = None
+        # fail any requests still queued — a stranded Future blocks its
+        # client forever
+        while True:
+            try:
+                *_, fut = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            fut.set_exception(RuntimeError("serving engine stopped"))
 
     def submit(self, image: np.ndarray, cids: Sequence[int]) -> Future:
         """Enqueue one (k, H, W) image; the collector coalesces the queue

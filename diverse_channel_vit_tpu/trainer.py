@@ -565,10 +565,21 @@ class Trainer:
             )
         return self._eval_steps[chunk]
 
+    @property
+    def _default_chunk(self):
+        """Chunk identity to bind on the single-chunk (non-CHAMMI) paths.
+
+        Chunk-identity models (SharedConvNeXt stems, SliceParam class
+        embeddings) key on *mapper* chunk names — a CHAMMI concept. On
+        single-chunk datasets the mapper keys are splits, and the dataset's
+        chunk label ('synthetic', 'jump_cp_8', ...) is NOT a mapper key, so
+        bind nothing and let chunk_name() fall back to the first mapper key."""
+        return self.all_chunks[0] if self.dataset_name == "morphem70k" else None
+
     # kept for external callers (evaluation glue): chunk-agnostic default
     @property
     def _eval_step(self):
-        return self._get_eval_step(self.all_chunks[0])
+        return self._get_eval_step(self._default_chunk)
 
     # ------------------------------------------------------------------
     # training
@@ -789,7 +800,7 @@ class Trainer:
     def _train_one_batch_regular(self, batch) -> Dict[str, float]:
         cids = self._chunk_channel_ids("train")
         k = self._draw_k(len(cids))
-        step = self._get_train_step(cids, k, chunk=self.all_chunks[0])
+        step = self._get_train_step(cids, k, chunk=self._default_chunk)
         rng = self.state.step_rng()
         self.state, metrics = step(self.state, batch, rng)
         return {
@@ -1033,7 +1044,7 @@ class Trainer:
                            else self._chunk_channel_ids("train"))
         dynamic = str(new_channel_init).startswith("dynamic_input_corr")
         override = None if dynamic else self._synthesis_override(split, new_channel_init)
-        eval_step = self._get_eval_step(self.all_chunks[0])
+        eval_step = self._get_eval_step(self._default_chunk)
         max_batches = 3 if self.debug else math.inf
         correct, total = 0, 0
         for i, batch in enumerate(loader):
@@ -1080,7 +1091,7 @@ class Trainer:
         if loader is None:
             return results
         full = self._chunk_channel_ids(split if split in self.mapper else "train")
-        eval_step = self._get_eval_step(self.all_chunks[0])
+        eval_step = self._get_eval_step(self._default_chunk)
         max_batches = 3 if self.debug else math.inf
         c = len(full)
         for n in range(c, 0, -1):

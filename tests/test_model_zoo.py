@@ -176,3 +176,25 @@ def test_scan_blocks_equivalent_to_unrolled():
     out1, _ = m_unroll.apply({"params": p}, x, cids, train=False)
     out2, _ = m_scan.apply({"params": p_scan}, x, cids, train=False)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+
+@pytest.mark.parametrize("name", VIT_MODELS)
+def test_model_grad_bf16(name):
+    """Training dtype is bf16 by default; grads must trace and execute in
+    bf16 on every backend (regressions: the depthwise c-batched einsum hit
+    XLA:CPU's unsupported BF16xBF16=F32 DotThunk; templatemixing's stem
+    conv with preferred_element_type=f32 broke the conv VJP everywhere)."""
+    model = build_model(name, _cfg(name), MAPPER, num_classes=4, dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.key(0), (2, 6, 16, 16))
+    cids = jnp.arange(6)
+    params = model.init({"params": jax.random.key(1), "dropout": jax.random.key(2)},
+                        x, cids, train=False)["params"]
+
+    def loss(p):
+        o, e = model.apply({"params": p}, x, cids, train=True,
+                           rngs={"dropout": jax.random.key(3)})
+        return jnp.mean(o.astype(jnp.float32) ** 2) + e
+
+    g = jax.grad(loss)(params)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l, np.float32))) for l in flat)

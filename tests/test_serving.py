@@ -156,3 +156,14 @@ def test_http_server_roundtrip(engine):
             assert e.code == 400
         with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
             assert r.status == 200
+
+
+def test_stop_fails_stranded_futures(engine):
+    """Requests still queued when the engine stops must not hang their
+    clients: stop() drains the queue and fails the futures."""
+    eng, _, _ = engine
+    img = np.zeros((3, IMG, IMG), np.float32)
+    fut = eng.submit(img, [0, 1, 2])  # collector never started
+    eng.stop()
+    with pytest.raises(RuntimeError, match="stopped"):
+        fut.result(timeout=5)
