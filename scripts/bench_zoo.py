@@ -36,8 +36,10 @@ from diverse_channel_vit_tpu.trainer import Trainer
 
 VITS = ["dichavit", "channelvit_adapt", "vit_adapt", "depthwisevit_adapt",
         "hypervit_adapt", "templatemixingvit"]
-CONVS = ["convnext_base", "shared_convnext", "sliceparamconvnext",
-         "templatemixingconvnext", "hyperconvnext", "depthwiseconvnext"]
+# keys = CONFIG GROUP names (mirror the reference yaml tree); two differ
+# from the registry names (sliceparam.yaml -> sliceparamconvnext, ...)
+CONVS = ["convnext_base", "shared_convnext", "sliceparam",
+         "template_mixing_conv", "hyperconvnext", "depthwiseconvnext"]
 
 IMG, BATCH = 224, 32
 
