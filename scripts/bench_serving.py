@@ -52,6 +52,25 @@ for b in (1, 8, 32, 64):
     print(f"bucket {b:3d}: {dt*1e3:7.2f} ms/batch  {b/dt:8.1f} imgs/s  "
           f"({dt*1e3/b:.2f} ms/img)", flush=True)
 
+# device-resident probe: the compiled program alone (no host->device input
+# transfer). On this dev host the TPU sits behind the axon tunnel, so
+# predict() above is transfer-bound (each bs-64 batch ships 51 MB); a real
+# deployment co-locates the host, making THIS the serving capability.
+cids_arr = jnp.arange(C, dtype=jnp.int32)
+for b in (1, 8, 32, 64):
+    exe = eng._executable(b, np.arange(C, dtype=np.int32), (IMG, IMG))
+    xdev = jnp.asarray(rng.normal(size=(b, C, IMG, IMG)).astype(np.float32))
+    out = exe(params, xdev, cids_arr)
+    float(jnp.sum(out))
+    t0 = time.perf_counter()
+    iters = max(5, 256 // b)
+    for _ in range(iters):
+        out = exe(params, xdev, cids_arr)
+    float(jnp.sum(out))  # host sync
+    dt = (time.perf_counter() - t0) / iters
+    print(f"resident bucket {b:3d}: {dt*1e3:7.2f} ms/batch  {b/dt:8.1f} imgs/s",
+          flush=True)
+
 # open-loop micro-batcher: 256 single-image requests as fast as we can feed
 eng.start()
 try:

@@ -112,6 +112,22 @@ def test_convnext_through_trainer(tmp_path):
     assert "valid/accuracy" in res
 
 
+def test_chunk_stem_convnext_on_single_chunk_dataset(tmp_path):
+    """Chunk-IDENTITY models (SharedConvNeXt per-chunk stems) on a
+    single-chunk dataset: the trainer must not bind the dataset's chunk
+    label ('synthetic') as the model's chunk identity — chunk names are a
+    CHAMMI mapper concept (regression: trainer._default_chunk)."""
+    cfg = _cfg(tmp_path, extra=[
+        "model=shared_convnext", "train.num_epochs=1", "train.debug=True",
+    ])
+    trainer = Trainer(cfg)
+    assert trainer._default_chunk is None
+    metrics = trainer.train_one_epoch(1)
+    assert np.isfinite(metrics["loss"])
+    res = trainer.eval_regular(1)
+    assert "valid/accuracy" in res
+
+
 def test_async_checkpointing(tmp_path):
     """``train.async_checkpoint=True`` commits every epoch save on the
     background thread; train() waits before finishing, so the checkpoints
