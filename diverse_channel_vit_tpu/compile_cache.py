@@ -23,3 +23,20 @@ def enable(cache_dir: str = _DEFAULT_DIR) -> None:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception as e:  # pragma: no cover — cache is best-effort
         print(f"[compile_cache] disabled ({e})")
+
+
+def honor_env_platform() -> None:
+    """Re-apply ``JAX_PLATFORMS`` after import.
+
+    A ``sitecustomize`` that preloads jax makes the env var alone too late;
+    every CLI entry point that should run on CPU when asked (main.py, the
+    evaluation CLIs, the driver entries) calls this right after importing
+    jax."""
+    import jax
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass

@@ -56,7 +56,8 @@ def torch_backbone(name: str, weights_path: str):
         feat_dim = 768
     else:
         raise ValueError(
-            f"Unsupported backbone {name!r}; use resnet18|convnext|convnext_jax|checkpoint"
+            f"Unsupported backbone {name!r}; use "
+            "resnet18|convnext|convnext_jax|dinov2_jax|checkpoint"
         )
     model.eval()
 
@@ -112,6 +113,46 @@ def jax_convnext_backbone(weights_path: str, *, depths=(3, 3, 9, 3),
     return run, dims[-1]
 
 
+def jax_dinov2_backbone(weights_path: str, *, num_heads: int | None = None):
+    """TPU-native DINOv2 feature backbone from a LOCAL torch state dict
+    (facebook hub layout or HF ``Dinov2WithRegistersModel`` layout).
+    Reference role: ``dinov2_vits14_reg`` + ``x_norm_clstoken``
+    (``morphem/feature_extraction.py:34-44``, :181-183); hub downloads are
+    impossible zero-egress so the weights come from disk. Inputs are padded
+    to patch multiples exactly like the reference's ``create_pad``."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ..models.dinov2 import (DinoV2ViT, config_from_state_dict,
+                                 load_torch_dinov2_state, pad_to_patch_multiple)
+
+    obj = torch.load(weights_path, map_location="cpu", weights_only=True)
+    for key in ("state_dict", "model"):
+        if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
+            obj = obj[key]
+    sd = {k.removeprefix("module."): v for k, v in obj.items()}
+
+    cfg = config_from_state_dict(sd, num_heads=num_heads)
+    model = DinoV2ViT(**cfg)
+    patch = cfg["patch_size"]
+    dim = cfg["embed_dim"]
+
+    def init_and_load():
+        probe = jnp.zeros((1, 3, patch, patch), jnp.float32)
+        params = jax.jit(lambda r: model.init(r, probe)["params"])(jax.random.key(0))
+        return load_torch_dinov2_state(params, sd)
+
+    params = init_and_load()
+    fwd = jax.jit(lambda x: model.apply({"params": params}, x)["x_norm_clstoken"])
+
+    def run(batch_np: np.ndarray) -> np.ndarray:
+        x = pad_to_patch_multiple(batch_np.astype(np.float32), patch)
+        return np.asarray(fwd(jnp.asarray(x)))
+
+    return run, dim
+
+
 def get_save_features(
     root_dir: str,
     file_name: str,
@@ -122,12 +163,15 @@ def get_save_features(
     weights: str = "",
     img_size: int = 224,
     batch_size: int = 32,
+    heads: int | None = None,
 ):
     ds = SingleCellDataset(root_dir, file_name=file_name, chunk_name=dataset,
                            is_train=False, img_size=img_size)
     loader = BatchLoader(ds, batch_size=batch_size, shuffle=False)
     if model == "convnext_jax":
         run, _ = jax_convnext_backbone(weights)
+    elif model == "dinov2_jax":
+        run, _ = jax_dinov2_backbone(weights, num_heads=heads)
     else:
         run, _ = torch_backbone(model, weights)
     feats = []
@@ -145,6 +189,10 @@ def get_save_features(
 
 
 def main(argv=None):
+    from ..compile_cache import enable, honor_env_platform
+
+    enable()
+    honor_env_platform()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--root_dir", required=True)
     p.add_argument("--file_name", default="morphem70k_v2.csv")
@@ -154,10 +202,13 @@ def main(argv=None):
     p.add_argument("--weights", default="")
     p.add_argument("--img_size", type=int, default=224)
     p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--heads", type=int, default=None,
+                   help="dinov2_jax head count (inferred for published widths)")
     a = p.parse_args(argv)
     path = get_save_features(
         a.root_dir, a.file_name, a.dataset, a.dest,
-        model=a.model, weights=a.weights, img_size=a.img_size, batch_size=a.batch_size,
+        model=a.model, weights=a.weights, img_size=a.img_size,
+        batch_size=a.batch_size, heads=a.heads,
     )
     print(f"saved {path}")
 

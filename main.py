@@ -33,14 +33,10 @@ def maybe_init_distributed():
     # honor JAX_PLATFORMS even when a sitecustomize preloaded jax before the
     # env var could take effect (e.g. JAX_PLATFORMS=cpu python main.py ...)
     from diverse_channel_vit_tpu.compile_cache import enable as _enable_cache
+    from diverse_channel_vit_tpu.compile_cache import honor_env_platform
 
     _enable_cache()
-    want = os.environ.get("JAX_PLATFORMS")
-    if want:
-        try:
-            jax.config.update("jax_platforms", want)
-        except Exception:
-            pass
+    honor_env_platform()
     if os.environ.get("JAX_COORDINATOR_ADDRESS") or int(os.environ.get("JAX_NUM_PROCESSES", "1")) > 1:
         jax.distributed.initialize()
 

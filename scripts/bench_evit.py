@@ -1,0 +1,84 @@
+"""EViT token-pruning throughput on the real TPU.
+
+The reference wires EViT top-k CLS-attention token keeping as a research
+knob (``models/vit.py:291-343``, Attention_EVIT) but never publishes a
+throughput number for it. This measures the trainer's own flagship train
+step (DiChaViT-S, JUMP-CP geometry: bs 64, 8ch, 224^2, 1569 tokens) at
+keep_rate in {1.0 (off), 0.9, 0.7, 0.5} — pruning fires at layers
+{depth/4, depth/2, 3*depth/4} exactly like the EViT paper schedule the
+reference copies.
+
+Run: python scripts/bench_evit.py [keep_rate ...]
+"""
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from diverse_channel_vit_tpu.compile_cache import enable
+
+enable()
+
+from diverse_channel_vit_tpu.config import load_config
+from diverse_channel_vit_tpu.trainer import Trainer
+
+IMG, BATCH = 224, 64
+
+
+def bench_one(keep_rate: float) -> float:
+    overrides = [
+        "model=dichavit",
+        "train.num_epochs=1",
+        f"train.batch_size={BATCH}",
+        f"dataset.img_size={IMG}",
+        f"model.img_size=[{IMG}]",
+        "dataset.num_train_samples=64",
+        "dataset.num_eval_samples=32",
+        "hardware.num_workers=0",
+        "train.checkpoints=/tmp/bench_evit_ckpt",
+        "train.save_model=none",
+        "++model.pretrained_model_name=small",
+        "model.patch_size=16",
+    ]
+    if keep_rate < 1.0:
+        overrides.append(f"++model.keep_rate={keep_rate}")
+    trainer = Trainer(load_config("synthetic_cfg", overrides))
+    cids = trainer._chunk_channel_ids("train")
+    step = trainer._get_train_step(cids, None, chunk=trainer._default_chunk)
+    data = trainer._to_device({
+        "image": jax.random.normal(jax.random.key(1),
+                                   (BATCH, len(cids), IMG, IMG), jnp.float32),
+        "label": jnp.arange(BATCH) % trainer.num_classes,
+    })
+    state, key = trainer.state, jax.random.key(2)
+    t_c0 = time.perf_counter()
+    state, m = step(state, data, key)
+    loss0 = float(m["loss"])
+    compile_s = time.perf_counter() - t_c0
+    for i in range(2):
+        state, m = step(state, data, jax.random.fold_in(key, i))
+    float(m["loss"])
+    iters = 8
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, data, jax.random.fold_in(key, 10 + i))
+    loss1 = float(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    assert math.isfinite(loss0) and math.isfinite(loss1), keep_rate
+    ips = BATCH / dt
+    print(f"keep_rate {keep_rate:4.2f} {dt * 1e3:8.1f} ms/step {ips:8.1f} imgs/s "
+          f"(loss {loss0:.3f} -> {loss1:.3f}, compile {compile_s:.0f}s)",
+          flush=True)
+    return ips
+
+
+if __name__ == "__main__":
+    rates = [float(r) for r in sys.argv[1:]] or [1.0, 0.9, 0.7, 0.5]
+    for r in rates:
+        bench_one(r)
