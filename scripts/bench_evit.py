@@ -9,6 +9,8 @@ keep_rate in {1.0 (off), 0.9, 0.7, 0.5} — pruning fires at layers
 reference copies.
 
 Run: python scripts/bench_evit.py [keep_rate ...]
+     python scripts/bench_evit.py quality [steps]   # overfit-trajectory
+     # comparison keep_rate 1.0 vs 0.7 on one fixed batch, same init/draws
 """
 
 import math
@@ -31,7 +33,7 @@ from diverse_channel_vit_tpu.trainer import Trainer
 IMG, BATCH = 224, 64
 
 
-def bench_one(keep_rate: float) -> float:
+def _make(keep_rate: float):
     overrides = [
         "model=dichavit",
         "train.num_epochs=1",
@@ -56,6 +58,11 @@ def bench_one(keep_rate: float) -> float:
                                    (BATCH, len(cids), IMG, IMG), jnp.float32),
         "label": jnp.arange(BATCH) % trainer.num_classes,
     })
+    return trainer, step, data
+
+
+def bench_one(keep_rate: float) -> float:
+    trainer, step, data = _make(keep_rate)
     state, key = trainer.state, jax.random.key(2)
     t_c0 = time.perf_counter()
     state, m = step(state, data, key)
@@ -78,7 +85,31 @@ def bench_one(keep_rate: float) -> float:
     return ips
 
 
+def quality(steps: int):
+    """Overfit one fixed batch at keep 1.0 vs 0.7 from the same init (the
+    param tree is identical — pruning is score-based, parameter-free) and
+    print both loss trajectories."""
+    curves = {}
+    for r in (1.0, 0.7):
+        trainer, step, data = _make(r)
+        state, key = trainer.state, jax.random.key(2)
+        pts = []
+        for i in range(steps):
+            state, m = step(state, data, jax.random.fold_in(key, i))
+            if i % 10 == 0 or i == steps - 1:
+                pts.append((i, float(m["loss"])))
+                print(f"  keep {r:3.1f} step {i:4d}: loss {pts[-1][1]:.4f}",
+                      flush=True)
+        curves[r] = pts
+    print("\nstep  keep1.0  keep0.7")
+    for (i, a), (_, b) in zip(curves[1.0], curves[0.7]):
+        print(f"{i:4d}  {a:7.4f}  {b:7.4f}")
+
+
 if __name__ == "__main__":
-    rates = [float(r) for r in sys.argv[1:]] or [1.0, 0.9, 0.7, 0.5]
-    for r in rates:
-        bench_one(r)
+    if sys.argv[1:2] == ["quality"]:
+        quality(int(sys.argv[2]) if len(sys.argv) > 2 else 120)
+    else:
+        rates = [float(r) for r in sys.argv[1:]] or [1.0, 0.9, 0.7, 0.5]
+        for r in rates:
+            bench_one(r)
