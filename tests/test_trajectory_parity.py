@@ -378,3 +378,99 @@ def test_trajectory_mixed_chunk_proxy_path(ref_dichavit, exact_gelu):
     np.testing.assert_allclose(our_losses[0], ref_losses[0], rtol=1e-5)
     # measured max per-step relative drift ~3e-6 over the full curve
     np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-4)
+
+
+def test_trajectory_sgd_momentum_path(ref_dichavit, exact_gelu):
+    """20 composed steps on the SGD family (``optimizers.py:14-15`` ->
+    torch.optim.SGD): momentum buffer + COUPLED L2 weight decay (added to
+    the gradient AFTER clipping, unlike AdamW's decoupled decay) + the
+    same lr writes and clip. Pins the optax sgd chain's op ordering
+    (clip -> add_decayed_weights -> trace -> -lr) against torch."""
+    import jax
+    import jax.numpy as jnp
+
+    from diverse_channel_vit_tpu.training import create_train_state, make_optimizer
+    from diverse_channel_vit_tpu.training.schedules import make_lr_schedule
+    from diverse_channel_vit_tpu.training.steps import make_train_step
+
+    n_steps = 20
+    subsets = [[0, 1, 2, 3], [3, 1], [2, 0, 1]]
+    mapper = {"train": list(range(C_TOTAL))}
+    mapper.update({f"s{i}": s for i, s in enumerate(subsets)})
+    extra_lambda = 1.0
+    base_lr, clip, wd, mom = 0.05, 1.0, 1e-4, 0.9
+
+    cfg = _ref_cfg()
+    trunk = _build_ref_trunk(ref_dichavit, mapper, cfg)
+    torch.manual_seed(3)
+    head = torch.nn.Linear(DIM, NUM_CLASSES)
+    trunk.train(), head.train()
+
+    lr_fn = make_lr_schedule(
+        "cosine", base_lr,
+        dict(t_initial=2, warmup_t=1, warmup_lr_init=1e-3),
+        num_epochs=2, steps_per_epoch=10,
+    )
+    lr_values = [float(lr_fn(t)) for t in range(n_steps)]
+
+    rng = np.random.default_rng(31)
+    xs = rng.normal(size=(n_steps, BATCH, C_TOTAL, IMG, IMG)).astype(np.float32) * 0.5
+    ys = rng.integers(0, NUM_CLASSES, size=(n_steps, BATCH))
+
+    init_backbone = _transplant_backbone(trunk)
+    init_head = {
+        "kernel": head.weight.detach().numpy().copy().T,
+        "bias": head.bias.detach().numpy().copy(),
+    }
+
+    opt = torch.optim.SGD(
+        list(trunk.parameters()) + list(head.parameters()),
+        lr=lr_values[0], momentum=mom, weight_decay=wd,
+    )
+    ce = torch.nn.CrossEntropyLoss()
+    ref_losses = []
+    for t in range(n_steps):
+        s = subsets[t % len(subsets)]
+        opt.param_groups[0]["lr"] = lr_values[t]
+        opt.zero_grad()
+        feats, extra = trunk(torch.from_numpy(xs[t][:, s]), f"s{t % len(subsets)}")
+        loss = ce(head(feats), torch.from_numpy(ys[t])) + extra_lambda * extra
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(
+            list(trunk.parameters()) + list(head.parameters()), clip
+        )
+        opt.step()
+        ref_losses.append(float(loss))
+
+    model = _our_model(with_head=True)
+    tx = make_optimizer(
+        "sgd", dict(momentum=mom, weight_decay=wd),
+        lr_schedule=lr_fn, total_steps=n_steps, clip_grad_norm=clip,
+    )
+    state = create_train_state(
+        model, tx, rng=jax.random.key(0),
+        sample_input=jnp.zeros((2, C_TOTAL, IMG, IMG), jnp.float32),
+        sample_channel_ids=jnp.arange(C_TOTAL),
+    )
+    params = dict(state.params)
+    params["backbone"] = init_backbone
+    params["classifier_head"] = init_head
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    state = state.replace(params=params, opt_state=tx.init(params))
+
+    step_cache = {}
+    our_losses = []
+    for t in range(n_steps):
+        s = subsets[t % len(subsets)]
+        step = step_cache.get(tuple(s))
+        if step is None:
+            step = step_cache[tuple(s)] = make_train_step(
+                model, channel_ids=s, k=None, loss_type="ce",
+                extra_loss_lambda=extra_lambda, donate=False,
+            )
+        batch = {"image": jnp.asarray(xs[t][:, s]), "label": jnp.asarray(ys[t])}
+        state, metrics = step(state, batch, jax.random.key(t))
+        our_losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(our_losses[0], ref_losses[0], rtol=1e-5)
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-4)
