@@ -21,7 +21,7 @@ validated bit-close against ``F.interpolate`` in tests/test_dinov2.py.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
