@@ -154,7 +154,35 @@ def recipe_imgs_per_sec(num_heads: int = 6, batch: int = 64):
     return ips / n_devices
 
 
+def _wait_for_device(attempts: int = 5, probe_timeout: int = 180,
+                     backoff_s: int = 120) -> None:
+    """Bounded pre-flight for a flaky TPU tunnel: the axon backend can be
+    transiently UNAVAILABLE (or hang during init), and a failed backend
+    init is cached for the whole process — so probe from a SUBPROCESS and
+    only import-and-run in this process once a probe succeeds. Proceeds
+    after the last attempt regardless (the real error then surfaces)."""
+    import subprocess
+    import sys
+
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+                timeout=probe_timeout, capture_output=True, text=True,
+            )
+            if r.returncode == 0 and r.stdout.strip().isdigit():
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if i < attempts - 1:
+            print(f"[bench] device probe {i + 1}/{attempts} failed; "
+                  f"retrying in {backoff_s}s", flush=True)
+            time.sleep(backoff_s)
+
+
 def main():
+    _wait_for_device()
+
     import jax
 
     from diverse_channel_vit_tpu.compile_cache import enable as _enable_cache
