@@ -183,3 +183,39 @@ def test_dinov2_jax_backbone_end_to_end(tmp_path):
         ref = m(torch.from_numpy(xp), interpolate_pos_encoding=True)
     # HF interpolates size-based + antialias == our *_reg default
     np.testing.assert_allclose(run(x), ref.last_hidden_state[:, 0].numpy(), atol=2e-5)
+
+
+def test_feature_extraction_to_benchmark(tmp_path):
+    """The reference's full pretrained-feature workflow, composed: CHAMMI
+    fixture images -> dinov2_jax channel-replicated features -> MorphEm
+    evaluate() (morphem/feature_extraction.py + evaluation.py roles).
+    Features must be row-aligned with the chunk's enriched_meta."""
+    import pandas as pd
+
+    from scripts.make_chammi_fixture import main as make_fixture
+    from diverse_channel_vit_tpu.evaluation.benchmark import evaluate
+    from diverse_channel_vit_tpu.evaluation.feature_extraction import (
+        get_save_features,
+    )
+
+    root = tmp_path / "data"
+    make_fixture(str(root), 16)
+
+    m = _tiny_hf_model()
+    ckpt = tmp_path / "dinov2.pth"
+    torch.save(m.state_dict(), ckpt)
+
+    path = get_save_features(
+        str(root), "morphem70k_v2.csv", "Allen", str(tmp_path / "feat"),
+        model="dinov2_jax", weights=str(ckpt), img_size=28, batch_size=8,
+        heads=2,
+    )
+    feats = np.load(path)
+    meta = pd.read_csv(root / "Allen" / "enriched_meta.csv")
+    assert feats.shape == (len(meta), 32 * 3)  # dim x 3 replicated channels
+    assert np.isfinite(feats).all()
+
+    res = evaluate(path, str(root / "Allen" / "enriched_meta.csv"),
+                   None, None, "knn", True, "cosine")
+    assert res["tasks"] == ["Task_one", "Task_two"]
+    assert all(0.0 <= a <= 1.0 for a in res["accuracies"])
