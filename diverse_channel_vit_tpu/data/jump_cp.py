@@ -88,6 +88,10 @@ def split_indices(n: int, split: str, seed: int = 0) -> np.ndarray:
     raise ValueError("Unknown split")
 
 
+S3_PREFIX = "s3://insitro-research-2023-context-vit/"
+PACKED_NAME = "jumpcp/packed_crops.npy"
+
+
 @register_dataset("jump_cp")
 class JUMPCP:
     NUM_TOTAL_CHANNELS = 8
@@ -124,6 +128,21 @@ class JUMPCP:
         self.data_path = list(df["path"])
         self.labels = np.asarray([lbl[w] for w in df["well_loc"]], np.int64)
 
+        # packed-crop fast path (scripts/pack_jumpcp.py): one memmapped
+        # array + {path -> row} index replaces per-cell .npy file IO.
+        # Used only when EVERY row of this split is present in the pack.
+        self._packed = None
+        packed = os.path.join(root_dir, PACKED_NAME)
+        if os.path.exists(packed) and os.path.exists(packed + ".index.json"):
+            import json
+
+            with open(packed + ".index.json") as f:
+                index = json.load(f)
+            rows = [index.get(p) for p in self.data_path]
+            if all(r is not None for r in rows):
+                self._packed = np.load(packed, mmap_mode="r")
+                self._packed_rows = np.asarray(rows, np.int64)
+
         if len(channels) and isinstance(channels[0], str):
             channels = [int(c) for c in channels[0].split("-")]
         self.channels = np.asarray(list(channels), np.int64)
@@ -147,9 +166,9 @@ class JUMPCP:
         return len(self.data_path)
 
     def _load(self, index: int) -> np.ndarray:
-        path = self.data_path[index].replace(
-            "s3://insitro-research-2023-context-vit/", self.root_dir
-        )
+        if self._packed is not None:
+            return np.asarray(self._packed[self._packed_rows[index]], np.float32)
+        path = self.data_path[index].replace(S3_PREFIX, self.root_dir)
         return np.load(path).astype(np.float32)  # (8, H, W)
 
     def get_example(self, index: int, rng: Optional[np.random.Generator] = None) -> dict:

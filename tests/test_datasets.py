@@ -170,3 +170,30 @@ def test_so2sat_dataset(tmp_path):
     assert 0 <= ex["label"] < 17
     sub = So2Sat(str(tmp_path), split="valid", channels=[0, 9, 17], is_train=False)
     assert sub.get_example(0)["image"].shape == (3, 32, 32)
+
+
+def test_jumpcp_packed_crops_parity(jumpcp_root):
+    """scripts/pack_jumpcp.py: the packed-memmap fast path must be picked up
+    automatically and return bit-identical examples to per-file .npy IO."""
+    from scripts.pack_jumpcp import main as pack
+
+    plain = JUMPCP(jumpcp_root, split="train", channels=range(8), is_train=True)
+    assert plain._packed is None
+
+    pack(jumpcp_root)
+    packed = JUMPCP(jumpcp_root, split="train", channels=range(8), is_train=True)
+    assert packed._packed is not None
+    for i in (0, len(plain) - 1):
+        a = plain.get_example(i, np.random.default_rng(5))
+        b = packed.get_example(i, np.random.default_rng(5))
+        np.testing.assert_array_equal(a["image"], b["image"])
+        assert a["label"] == b["label"]
+
+    # eval path too (no rng; both dataset objects see the packed file, so
+    # force the second one onto per-file IO to compare)
+    pe = JUMPCP(jumpcp_root, split="valid", channels=[1, 5, 7], is_train=False)
+    assert pe._packed is not None
+    pf = JUMPCP(jumpcp_root, split="valid", channels=[1, 5, 7], is_train=False)
+    pf._packed = None
+    np.testing.assert_array_equal(
+        pe.get_example(0)["image"], pf.get_example(0)["image"])
