@@ -46,11 +46,29 @@ def fold_channels(image: np.ndarray, channel_width: int) -> np.ndarray:
     return chw
 
 
+PACKED_BIN = "chammi_packed.bin"
+
+
 def _read_image(path: str) -> np.ndarray:
     from PIL import Image
 
     with Image.open(path) as im:
         return np.asarray(im)
+
+
+def _open_pack(root_dir: str, file_paths) -> "tuple | None":
+    """(memmap, index) when a packed blob (scripts/pack_chammi.py) exists
+    and covers EVERY requested row, else None."""
+    bin_path = os.path.join(root_dir, PACKED_BIN)
+    if not (os.path.exists(bin_path) and os.path.exists(bin_path + ".index.json")):
+        return None
+    import json
+
+    with open(bin_path + ".index.json") as f:
+        index = json.load(f)
+    if any(p not in index for p in file_paths):
+        return None
+    return np.memmap(bin_path, dtype=np.uint8, mode="r"), index
 
 
 @register_dataset("morphem70k")
@@ -109,6 +127,15 @@ class SingleCellDataset:
             self.train_classes_dict = d
 
         self.mean_stds = get_mean_std_dataset("morphem70k")
+        self._pack = _open_pack(root_dir, self.file_paths)
+
+    def _read(self, index: int) -> np.ndarray:
+        if self._pack is not None:
+            buf, idx = self._pack
+            off, h, w, dt = idx[self.file_paths[index]]
+            n = h * w * np.dtype(dt).itemsize
+            return buf[off:off + n].view(dt).reshape(h, w)
+        return _read_image(os.path.join(self.root_dir, self.file_paths[index]))
 
     def __len__(self) -> int:
         return len(self.file_paths)
@@ -142,7 +169,7 @@ class SingleCellDataset:
         return normalize_chw(out, mean, std)
 
     def get_example(self, index: int, rng: Optional[np.random.Generator] = None) -> dict:
-        img = _read_image(os.path.join(self.root_dir, self.file_paths[index]))
+        img = self._read(index)
         chunk = self.chunks_col[index]
         mean, std = self.mean_stds[chunk]
         cw = self.channel_widths[index]

@@ -197,3 +197,37 @@ def test_jumpcp_packed_crops_parity(jumpcp_root):
     pf._packed = None
     np.testing.assert_array_equal(
         pe.get_example(0)["image"], pf.get_example(0)["image"])
+
+
+def test_chammi_packed_blob_parity(tmp_path):
+    """scripts/pack_chammi.py: the packed-blob fast path returns
+    bit-identical examples to per-file TIFF decode, train and eval."""
+    from scripts.make_chammi_fixture import main as make_fixture
+    from scripts.pack_chammi import main as pack
+    from diverse_channel_vit_tpu.data.morphem70k import SingleCellDataset
+
+    root = str(tmp_path / "chammi")
+    make_fixture(root, 8)
+
+    plain = SingleCellDataset(root, file_name="morphem70k_v2.csv",
+                              chunk_name="HPA", is_train=True, img_size=32)
+    assert plain._pack is None
+
+    pack(root)
+    packed = SingleCellDataset(root, file_name="morphem70k_v2.csv",
+                               chunk_name="HPA", is_train=True, img_size=32)
+    assert packed._pack is not None
+    for i in (0, len(plain) - 1):
+        a = plain.get_example(i, np.random.default_rng(3))
+        b = packed.get_example(i, np.random.default_rng(3))
+        np.testing.assert_array_equal(a["image"], b["image"])
+        assert a["label"] == b["label"]
+
+    pe = SingleCellDataset(root, file_name="morphem70k_v2.csv",
+                           chunk_name="CP", is_train=False, img_size=32)
+    pf = SingleCellDataset(root, file_name="morphem70k_v2.csv",
+                           chunk_name="CP", is_train=False, img_size=32)
+    assert pe._pack is not None
+    pf._pack = None
+    np.testing.assert_array_equal(
+        pe.get_example(1)["image"], pf.get_example(1)["image"])
