@@ -82,10 +82,26 @@ class Config:
 
     # -- attribute-like ------------------------------------------------
     def __getattr__(self, key: str) -> Any:
+        # dunder/_data lookups must fail fast: during unpickling `_data`
+        # does not exist yet and recursing through self._data would loop.
+        # (single-underscore keys like `_device_augment` stay readable —
+        # the loader annotates dataset cfgs with them)
+        if key == "_data" or (key.startswith("__") and key.endswith("__")):
+            raise AttributeError(key)
         try:
-            return self._data[key]
+            return object.__getattribute__(self, "_data")[key]
         except KeyError as e:
             raise AttributeError(f"Config has no key {key!r}") from e
+
+    # -- pickling (multiprocess loader workers receive dataset factories
+    # that close over Config sections) -----------------------------------
+    def __getstate__(self) -> Dict[str, Any]:
+        return self.to_dict()
+
+    def __setstate__(self, state: Dict[str, Any]):
+        object.__setattr__(self, "_data", {})
+        for k, v in state.items():
+            self[k] = v
 
     def __setattr__(self, key: str, value: Any):
         self[key] = value

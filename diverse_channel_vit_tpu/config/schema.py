@@ -188,6 +188,9 @@ SECTION_DEFAULTS = {
     },
     "hardware": {
         "num_workers": 3,
+        # True: train loaders use SPAWNED worker processes (true parallelism
+        # for GIL-bound numpy augmentation, e.g. TPS); False: thread pool
+        "worker_processes": False,
         "device": "tpu",
         "multi_gpus": None,  # parity key: None/ddp/DataParallel all map to mesh data-parallel
         "num_gpus": 1,

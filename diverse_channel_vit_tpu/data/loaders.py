@@ -41,6 +41,83 @@ def _stack_examples(examples: List[dict]) -> Dict[str, np.ndarray]:
     return out
 
 
+# --------------------------------------------------------------------------
+# process-pool workers (true parallelism for GIL-bound numpy augmentation:
+# TPS warps, host-side JUMP-CP pipelines). The per-example RNG is seeded by
+# (seed, epoch, index), so results are bit-identical to the serial/thread
+# paths regardless of worker scheduling. Workers are SPAWNED (never forked:
+# the parent may hold an initialized TPU client) and immediately pinned to
+# the CPU platform so they can never grab the accelerator.
+# --------------------------------------------------------------------------
+
+_WORKER_DATASET = None
+_WORKER_SHM: Dict[str, object] = {}
+
+
+def _worker_init(factory):
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    global _WORKER_DATASET
+    _WORKER_DATASET = factory()
+
+
+def _worker_fetch(args: Tuple[int, int, int]) -> dict:
+    seed, epoch, i = args
+    rng = np.random.default_rng((seed, epoch, int(i)))
+    return _WORKER_DATASET.get_example(int(i), rng=rng)
+
+
+def _attach_shm(name: str):
+    shm = _WORKER_SHM.get(name)
+    if shm is None:
+        from multiprocessing import shared_memory
+
+        shm = shared_memory.SharedMemory(name=name)
+        try:  # only the CREATOR (the loader) owns the segment's lifetime;
+            # stop this worker's resource tracker from unlinking it at exit
+            from multiprocessing import resource_tracker
+
+            resource_tracker.unregister(shm._name, "shared_memory")
+        except Exception:
+            pass
+        _WORKER_SHM[name] = shm
+    return shm
+
+
+def _worker_fetch_shm(args) -> dict:
+    """Compute one example and write its array fields straight into the
+    loader's shared-memory arena — only scalar fields ride the result pipe.
+    (Returning 1 MB images through pickle+pipe made process workers
+    SLOWER than serial; measured in PERFORMANCE.md.)"""
+    seed, epoch, i, shm_name, slot, layout = args
+    rng = np.random.default_rng((seed, epoch, int(i)))
+    ex = _WORKER_DATASET.get_example(int(i), rng=rng)
+    buf = _attach_shm(shm_name).buf
+    small = {}
+    for key, val in ex.items():
+        if key in layout:
+            offset, shape, dtype = layout[key]
+            item = int(np.prod(shape)) * np.dtype(dtype).itemsize
+            out = np.ndarray(shape, dtype, buffer=buf, offset=offset + slot * item)
+            out[...] = val
+        else:
+            small[key] = val
+    return small
+
+
+def build_dataset_with_attrs(build, kwargs: dict, attrs: dict):
+    """Picklable dataset factory: construct + apply post-init attributes
+    (tps_prob, train_classes_dict, ... — mirrors the loader-side mutations)."""
+    ds = build(**kwargs)
+    for k, v in attrs.items():
+        setattr(ds, k, v)
+    return ds
+
+
 def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     """Background-thread batch prefetch.
 
@@ -88,6 +165,8 @@ class BatchLoader:
         num_hosts: int = 1,
         host_id: int = 0,
         num_workers: int = 0,
+        worker_processes: bool = False,
+        dataset_factory=None,
     ):
         self.dataset = dataset
         self.batch_size = int(batch_size)
@@ -99,9 +178,56 @@ class BatchLoader:
         self.host_id = host_id
         self.num_workers = num_workers
         self._epoch = 0
-        self._pool = (
-            cf.ThreadPoolExecutor(max_workers=num_workers) if num_workers > 0 else None
-        )
+        self._pool = self._procpool = None
+        self._shm = None
+        self._shm_layout = None
+        if worker_processes and num_workers > 0 and dataset_factory is not None:
+            import multiprocessing as mp
+
+            self._procpool = cf.ProcessPoolExecutor(
+                max_workers=num_workers,
+                mp_context=mp.get_context("spawn"),
+                initializer=_worker_init,
+                initargs=(dataset_factory,),
+            )
+        elif num_workers > 0:
+            self._pool = cf.ThreadPoolExecutor(max_workers=num_workers)
+
+    def close(self):
+        if self._procpool is not None:
+            self._procpool.shutdown(wait=False, cancel_futures=True)
+            self._procpool = None
+        if self._shm is not None:
+            try:
+                self._shm.close()
+                self._shm.unlink()
+            except Exception:
+                pass
+            self._shm = None
+
+    def __del__(self):  # best-effort arena cleanup
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def _ensure_arena(self):
+        """Allocate the shared-memory arena from one probe example's field
+        shapes (batches are fixed-shape by loader contract)."""
+        if self._shm is not None:
+            return
+        probe = self.dataset.get_example(0, rng=np.random.default_rng(0))
+        layout, offset = {}, 0
+        for k, v in probe.items():
+            a = np.asarray(v)
+            if a.ndim >= 1:
+                layout[k] = (offset, tuple(a.shape), str(a.dtype))
+                offset += self.batch_size * a.nbytes
+                offset = (offset + 63) & ~63
+        from multiprocessing import shared_memory
+
+        self._shm = shared_memory.SharedMemory(create=True, size=max(offset, 1))
+        self._shm_layout = layout
 
     def set_epoch(self, epoch: int):
         """DistributedSampler.set_epoch parity (``trainer.py:769-770``)."""
@@ -122,6 +248,24 @@ class BatchLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
+    def _fetch_stacked(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
+        if self._procpool is not None:
+            self._ensure_arena()
+            args = [
+                (self.seed, self._epoch, int(i), self._shm.name, slot, self._shm_layout)
+                for slot, i in enumerate(indices)
+            ]
+            chunk = max(1, len(args) // (self.num_workers * 4))
+            smalls = list(self._procpool.map(_worker_fetch_shm, args, chunksize=chunk))
+            batch = _stack_examples(smalls) if smalls and smalls[0] else {}
+            n = len(indices)
+            for k, (offset, shape, dtype) in self._shm_layout.items():
+                view = np.ndarray((n,) + shape, dtype, buffer=self._shm.buf,
+                                  offset=offset)
+                batch[k] = view.copy()  # one memcpy; arena reused next batch
+            return batch
+        return _stack_examples(self._fetch(indices))
+
     def _fetch(self, indices: Sequence[int]) -> List[dict]:
         def one(i):
             rng = np.random.default_rng((self.seed, self._epoch, int(i)))
@@ -136,13 +280,12 @@ class BatchLoader:
         bs = self.batch_size
         n_full = len(idx) // bs
         for b in range(n_full):
-            batch = _stack_examples(self._fetch(idx[b * bs : (b + 1) * bs]))
+            batch = self._fetch_stacked(idx[b * bs : (b + 1) * bs])
             batch["valid"] = np.ones((bs,), np.bool_)
             yield batch
         rem = idx[n_full * bs :]
         if len(rem) and not self.drop_last:
-            examples = self._fetch(rem)
-            batch = _stack_examples(examples)
+            batch = self._fetch_stacked(rem)
             valid = np.ones((len(rem),), np.bool_)
             if self.pad_last:
                 pad = bs - len(rem)
@@ -176,6 +319,8 @@ class MixedChunkLoader:
         num_hosts: int = 1,
         host_id: int = 0,
         num_workers: int = 0,
+        worker_processes: bool = False,
+        dataset_factories: Optional[Dict[str, object]] = None,
     ):
         self.datasets = datasets
         self.batch_size = int(batch_size)
@@ -202,6 +347,8 @@ class MixedChunkLoader:
                 num_hosts=num_hosts,
                 host_id=host_id,
                 num_workers=num_workers,
+                worker_processes=worker_processes,
+                dataset_factory=(dataset_factories or {}).get(k),
             )
             for k, d in datasets.items()
         }
@@ -367,6 +514,7 @@ def get_train_val_test_loaders(
     bs = cfg.train.batch_size
     eval_bs = cfg.eval.get("batch_size") or bs
     nw = cfg.hardware.get("num_workers", 0) or 0
+    worker_procs = bool(cfg.hardware.get("worker_processes", False))
 
     chunk_map = None
     for entry in cfg.data_chunk.chunks:
@@ -380,12 +528,18 @@ def get_train_val_test_loaders(
     is_channel_map = isinstance(chunk_map, dict) or hasattr(chunk_map, "keys")
 
     def mk(split, is_train, channels, batch, shuffle, drop_last, pad_last):
-        if name in ("morphem70k", "Allen", "HPA", "CP"):
-            ds = _build_split(name, cfg.dataset, chunk_name, split, is_train, seed)
-            if is_train:
-                ds.tps_prob = tps_prob
-        else:
-            ds = _build_split(name, cfg.dataset, channels, split, is_train, seed)
+        from functools import partial
+
+        is_chammi = name in ("morphem70k", "Allen", "HPA", "CP")
+        chunk_channels = chunk_name if is_chammi else channels
+        kwargs = dict(name=name, cfg_dataset=cfg.dataset,
+                      chunk_channels=chunk_channels, split=split,
+                      is_train=is_train, seed=seed)
+        attrs = {"tps_prob": tps_prob} if (is_chammi and is_train) else {}
+        ds = build_dataset_with_attrs(_build_split, kwargs, attrs)
+        # process workers only where they pay: the augmented train path
+        factory = (partial(build_dataset_with_attrs, _build_split, kwargs, attrs)
+                   if (is_train and worker_procs) else None)
         return BatchLoader(
             ds,
             batch_size=batch,
@@ -396,6 +550,8 @@ def get_train_val_test_loaders(
             num_hosts=num_hosts if is_train else eval_num_hosts,
             host_id=host_id if is_train else eval_host_id,
             num_workers=nw,
+            worker_processes=is_train and worker_procs,
+            dataset_factory=factory,
         )
 
     train_channels = chunk_map.get("train") if is_channel_map else None
@@ -435,12 +591,19 @@ def make_random_instance_train_loader(
                 for k_, v_ in TRAIN_CLASS_DICTS[part].items():
                     global_dict[k_] = off + v_
                 off += len(TRAIN_CLASS_DICTS[part])
-    datasets = {}
+    from functools import partial
+
+    worker_procs = bool(cfg.hardware.get("worker_processes", False))
+    datasets, factories = {}, {}
     for chunk_name in chunks:
-        ds = _build_split("morphem70k", cfg.dataset, chunk_name, "train", True, seed)
-        ds.tps_prob = cfg.train.get("tps_prob", 0.0)
-        ds.train_classes_dict = global_dict
-        datasets[chunk_name] = ds
+        kwargs = dict(name="morphem70k", cfg_dataset=cfg.dataset,
+                      chunk_channels=chunk_name, split="train",
+                      is_train=True, seed=seed)
+        attrs = {"tps_prob": cfg.train.get("tps_prob", 0.0),
+                 "train_classes_dict": global_dict}
+        datasets[chunk_name] = build_dataset_with_attrs(_build_split, kwargs, attrs)
+        factories[chunk_name] = partial(build_dataset_with_attrs, _build_split,
+                                        kwargs, attrs)
     return MixedChunkLoader(
         datasets,
         batch_size=cfg.train.batch_size,
@@ -448,4 +611,6 @@ def make_random_instance_train_loader(
         num_hosts=num_hosts,
         host_id=host_id,
         num_workers=cfg.hardware.get("num_workers", 0) or 0,
+        worker_processes=worker_procs,
+        dataset_factories=factories if worker_procs else None,
     )

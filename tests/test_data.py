@@ -244,3 +244,43 @@ def test_mixed_chunk_loader_longrun_composition():
         assert counts[k] == ml.quotas[k] * len(ml)
         # an epoch never exceeds the chunk's pool
         assert counts[k] <= sizes[k]
+
+
+def test_process_worker_loader_parity(tmp_path):
+    """hardware.worker_processes: spawned-process workers must produce
+    bit-identical batches to the serial path (per-example rng is keyed by
+    (seed, epoch, index), not by worker), including the TPS numpy path the
+    thread pool can't parallelize."""
+    from functools import partial
+
+    from scripts.make_chammi_fixture import main as make_fixture
+    from diverse_channel_vit_tpu.data.loaders import (
+        BatchLoader,
+        _build_split,
+        build_dataset_with_attrs,
+    )
+    from diverse_channel_vit_tpu.config import load_config
+
+    root = str(tmp_path / "chammi")
+    make_fixture(root, 8)
+    cfg = load_config("chammi_cfg", [
+        f"dataset.root_dir={root}", "dataset.file_name=morphem70k_v2.csv",
+        "dataset.img_size=16",
+    ])
+    kwargs = dict(name="morphem70k", cfg_dataset=cfg.dataset,
+                  chunk_channels="HPA", split="train", is_train=True, seed=5)
+    attrs = {"tps_prob": 1.0}  # force the TPS path (the GIL-bound one)
+    ds = build_dataset_with_attrs(_build_split, kwargs, attrs)
+    factory = partial(build_dataset_with_attrs, _build_split, kwargs, attrs)
+
+    serial = BatchLoader(ds, batch_size=4, shuffle=True, seed=3, drop_last=True)
+    procs = BatchLoader(ds, batch_size=4, shuffle=True, seed=3, drop_last=True,
+                        num_workers=2, worker_processes=True,
+                        dataset_factory=factory)
+    assert procs._procpool is not None
+    # consume each loader fully (zip would exhaust only one side's
+    # auto-epoch-advance) and compare two epochs
+    for _ in range(2):
+        for a, b in zip(list(serial), list(procs)):
+            np.testing.assert_array_equal(a["image"], b["image"])
+            np.testing.assert_array_equal(a["label"], b["label"])
