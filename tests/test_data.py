@@ -284,3 +284,28 @@ def test_process_worker_loader_parity(tmp_path):
         for a, b in zip(list(serial), list(procs)):
             np.testing.assert_array_equal(a["image"], b["image"])
             np.testing.assert_array_equal(a["label"], b["label"])
+
+
+def test_worker_processes_knob_wiring(tmp_path):
+    """hardware.worker_processes=True routes a process pool + picklable
+    factory to TRAIN loaders only (eval loaders stay thread/serial)."""
+    import pickle
+
+    from scripts.make_chammi_fixture import main as make_fixture
+    from diverse_channel_vit_tpu.config import load_config
+    from diverse_channel_vit_tpu.data.loaders import get_train_val_test_loaders
+
+    root = str(tmp_path / "chammi")
+    make_fixture(root, 8)
+    cfg = load_config("chammi_cfg", [
+        f"dataset.root_dir={root}", "dataset.file_name=morphem70k_v2.csv",
+        "dataset.img_size=16", "hardware.num_workers=1",
+        "hardware.worker_processes=True",
+    ])
+    train, _, test = get_train_val_test_loaders(cfg, "Allen", seed=0)
+    assert train._procpool is not None
+    # eval loaders never use process workers (augmentation-free path)
+    one_test = test if not isinstance(test, dict) else next(iter(test.values()))
+    assert one_test._procpool is None
+    train.close()
+    assert train._procpool is None
