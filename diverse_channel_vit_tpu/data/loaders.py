@@ -358,6 +358,10 @@ class MixedChunkLoader:
         for ld in self.loaders.values():
             ld.set_epoch(epoch)
 
+    def close(self):
+        for ld in self.loaders.values():
+            ld.close()
+
     def __len__(self) -> int:
         return min(len(ld) for ld in self.loaders.values())
 

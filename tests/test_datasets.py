@@ -231,3 +231,16 @@ def test_chammi_packed_blob_parity(tmp_path):
     pf._pack = None
     np.testing.assert_array_equal(
         pe.get_example(1)["image"], pf.get_example(1)["image"])
+
+
+def test_jumpcp_packed_float16_dtype(jumpcp_root):
+    """--dtype float16 halves the pack; values round-trip within f16 eps."""
+    from scripts.pack_jumpcp import main as pack
+
+    pack(jumpcp_root, dtype="float16")
+    ds = JUMPCP(jumpcp_root, split="valid", channels=range(8), is_train=False)
+    assert ds._packed is not None and ds._packed.dtype == np.float16
+    plain = JUMPCP(jumpcp_root, split="valid", channels=range(8), is_train=False)
+    plain._packed = None
+    a, b = ds.get_example(0)["image"], plain.get_example(0)["image"]
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
