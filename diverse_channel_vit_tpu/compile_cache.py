@@ -14,6 +14,7 @@ _DEFAULT_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_com
 
 
 def enable(cache_dir: str = _DEFAULT_DIR) -> None:
+    """Turn on the persistent XLA compile cache (idempotent; best-effort)."""
     import jax
 
     try:

@@ -8,6 +8,7 @@ DATASET_REGISTRY: Dict[str, Callable] = {}
 
 
 def register_dataset(name: str):
+    """Class decorator: register a dataset under its config name."""
     def wrap(cls):
         DATASET_REGISTRY[name] = cls
         return cls

@@ -22,6 +22,9 @@ _SPLIT_FILE = {"train": "training.h5", "valid": "validation.h5", "test": "testin
 
 @register_dataset("so2sat_city")
 class So2Sat:
+    """So2Sat LCZ42 HDF5 dataset: sen1(8ch)+sen2(10ch) -> 18 channels
+    (``datasets/so2sat.py`` parity)."""
+
     def __init__(
         self,
         root_dir: str,

@@ -41,6 +41,8 @@ def extract_features(trainer, chunk: str, loader, new_channel_init=None) -> np.n
 
 
 def eval_morphem70k(trainer, epoch: int, new_channel_init=None) -> Dict[str, float]:
+    """Full CHAMMI eval: per-chunk feature dump -> MorphEm Tasks 1-4 ->
+    CHAMMI score (``trainer.py:560-736`` parity)."""
     cfg = trainer.cfg
     folder = f"epoch{epoch}_seed{trainer.seed}"
     feature_dir = cfg.eval.feature_dir.replace("{FOLDER_NAME}", folder)

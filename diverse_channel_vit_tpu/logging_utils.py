@@ -71,6 +71,9 @@ class LocalWandb:
 
 
 class MyLogging:
+    """stdout / python-logging / wandb(-local) metric multiplexer
+    (``custom_log.py:131-250`` parity; dict messages log as metrics)."""
+
     def __init__(self, cfg, *, model=None, project_name: Optional[str] = None, op: str = "w"):
         self.cfg = cfg
         wandb_cfg = cfg.logging.get("wandb", {}) if hasattr(cfg, "logging") else {}
