@@ -225,9 +225,11 @@ class ChannelVisionTransformer(nn.Module):
         # pad the token grid ONCE to the flash kernel's preferred multiple so
         # no layer re-pads q/k/v; padded key positions are masked via
         # valid_len and the CLS readout never touches padded query rows.
-        # (skipped under EViT: its dense attention has no key masking)
+        # EViT blocks mask their CLS-score softmax the same way and re-pad
+        # after each prune (shapes stay static: the keep counts are Python
+        # ints derived from the running valid length).
         valid_len = None
-        if self.block_type == "block" and not evit_on:
+        if self.block_type == "block":
             from ..ops.attention import maybe_pad_tokens
 
             xseq, valid_len = maybe_pad_tokens(
@@ -277,23 +279,33 @@ class ChannelVisionTransformer(nn.Module):
                     keep_tokens=max(1, (cur_n * kc) // c),
                     keep_channels=kc if i == 0 else None,
                     nc=c,
+                    attention_impl=self.attention_impl,
                     dtype=self.dtype,
                     name=f"block_{i}",
                 )(xseq, train=train)
                 continue
             if i in evit_layers:
+                from ..ops.attention import maybe_pad_tokens
                 from .vit import BlockEViT
 
-                xseq = BlockEViT(
+                xseq, valid_len = BlockEViT(
                     num_heads=self.num_heads,
                     keep_rate=float(self.keep_rate),
                     mlp_ratio=self.mlp_ratio,
                     qkv_bias=self.qkv_bias,
                     drop=self.drop_rate,
                     drop_path=dpr[i],
+                    attention_impl=self.attention_impl,
                     dtype=self.dtype,
                     name=f"block_{i}",
-                )(xseq, train=train)
+                )(xseq, train=train, valid_len=valid_len)
+                if valid_len is None:
+                    # pruned (fully-valid) grid: re-establish the pad-once
+                    # invariant for the remaining layers
+                    xseq, valid_len = maybe_pad_tokens(
+                        xseq, self.dtype, num_heads=self.num_heads,
+                        attention_impl=self.attention_impl,
+                    )
                 continue
             blk = Block(
                 num_heads=self.num_heads,

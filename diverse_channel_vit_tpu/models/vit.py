@@ -146,33 +146,46 @@ class Attention(nn.Module):
 
 
 class AttentionWithScores(nn.Module):
-    """PPTAttention (reference ``vit.py:147-229``): dense attention that also
+    """PPTAttention (reference ``vit.py:147-229``): attention that also
     returns per-token significance scores (CLS-attention x value-norm).
-    Dense path by necessity — the scores need the probability matrix."""
+
+    TPU-native rework: the reference materializes the dense (B, H, N, N)
+    probability matrix, but the scores only read its CLS *row* — which is
+    ``softmax(q_cls . K^T)``, an O(N.dh) matvec — and per-token value norms.
+    The attention output runs through the flash kernel; nothing densifies.
+    ``ops/token_pruning.ppt_significance_scores`` is the dense oracle this
+    is tested against. Parameter tree matches :class:`Attention`
+    (wq/wk/wv/proj), so block_v2 checkpoints interchange with plain blocks."""
 
     num_heads: int
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
+    impl: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool):
-        from ..ops.token_pruning import ppt_significance_scores
-
         b, n, c = x.shape
         head_dim = c // self.num_heads
         sm_scale = self.qk_scale or head_dim**-0.5
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=dense_init, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-        attn = jax.nn.softmax(
-            jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * sm_scale,
-            axis=-1,
+        q = nn.Dense(c, use_bias=self.qkv_bias, kernel_init=dense_init, dtype=self.dtype, name="wq")(x)
+        k = nn.Dense(c, use_bias=self.qkv_bias, kernel_init=dense_init, dtype=self.dtype, name="wk")(x)
+        v = nn.Dense(c, use_bias=self.qkv_bias, kernel_init=dense_init, dtype=self.dtype, name="wv")(x)
+        out = multi_head_attention_packed(
+            q, k, v, self.num_heads, sm_scale=sm_scale, impl=self.impl
         )
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         out = nn.Dense(c, kernel_init=dense_init, dtype=self.dtype, name="proj")(out)
-        scores = ppt_significance_scores(attn, v)
+        # PPT significance without the dense matrix: CLS attention row
+        # (recomputed at O(N.dh)) x packed value norms (reference
+        # vit.py:160-198 semantics, oracle-tested)
+        q_cls = q.reshape(b, n, self.num_heads, head_dim)[:, 0].astype(jnp.float32)
+        kh = k.reshape(b, n, self.num_heads, head_dim).astype(jnp.float32)
+        logits = jnp.einsum("bhd,bnhd->bhn", q_cls, kh) * sm_scale  # (B, H, N)
+        cls_attn = jax.nn.softmax(logits, axis=-1)
+        v_norm = jnp.linalg.norm(v.astype(jnp.float32), ord=2, axis=2)  # (B, N)
+        sig = jnp.sum(cls_attn, axis=1) * v_norm  # (B, N)
+        sig = sig[:, 1:]
+        scores = sig / jnp.sum(sig, axis=1, keepdims=True)
         return out, scores
 
 
@@ -195,6 +208,7 @@ class BlockV2(nn.Module):
     keep_tokens: Optional[int] = None
     keep_channels: Optional[int] = None
     nc: int = 0
+    attention_impl: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -205,7 +219,7 @@ class BlockV2(nn.Module):
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         y, scores = AttentionWithScores(
             num_heads=self.num_heads, qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
-            dtype=self.dtype, name="attn",
+            impl=self.attention_impl, dtype=self.dtype, name="attn",
         )(y.astype(self.dtype), train=train)
         if self.pruning_method == "token_pruning" and self.keep_tokens is not None:
             if self.keep_tokens < x.shape[1] - 1:
@@ -224,14 +238,65 @@ class BlockV2(nn.Module):
         return x + DropPath(self.drop_path, name="drop_path2")(z, train=train)
 
 
+class _EViTAttention(nn.Module):
+    """Attention that also returns the head-mean CLS attention row.
+
+    TPU-native rework of the reference ``Attention_EVIT`` (``vit.py:291-343``),
+    which materializes the full (B, H, N, N) probability matrix just to read
+    its CLS row. Softmax is row-wise, so that row is independently computable
+    as ``softmax(q_cls . K^T)`` — an O(B.H.N.dh) matvec — while the heavy
+    attention output runs through the flash kernel. Mathematically identical,
+    never densifies. Parameter tree matches :class:`Attention` (wq/wk/wv/proj)
+    so checkpoints interchange with plain blocks."""
+
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    impl: str = "auto"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y: jax.Array, *, valid_len: Optional[int] = None):
+        from ..ops.attention import MASK_VALUE
+
+        b, n, c = y.shape
+        head_dim = c // self.num_heads
+        sm_scale = self.qk_scale or head_dim**-0.5
+        q = nn.Dense(c, use_bias=self.qkv_bias, kernel_init=dense_init, dtype=self.dtype, name="wq")(y)
+        k = nn.Dense(c, use_bias=self.qkv_bias, kernel_init=dense_init, dtype=self.dtype, name="wk")(y)
+        v = nn.Dense(c, use_bias=self.qkv_bias, kernel_init=dense_init, dtype=self.dtype, name="wv")(y)
+        out = multi_head_attention_packed(
+            q, k, v, self.num_heads, sm_scale=sm_scale, impl=self.impl, valid_len=valid_len
+        )
+        out = nn.Dense(c, kernel_init=dense_init, dtype=self.dtype, name="proj")(out)
+        # CLS row of the attention matrix, recomputed at O(N.dh) in fp32
+        q_cls = q.reshape(b, n, self.num_heads, head_dim)[:, 0].astype(jnp.float32)
+        kh = k.reshape(b, n, self.num_heads, head_dim).astype(jnp.float32)
+        logits = jnp.einsum("bhd,bnhd->bhn", q_cls, kh) * sm_scale  # (B, H, N)
+        if valid_len is not None and valid_len < n:
+            logits = jnp.where(jnp.arange(n)[None, None, :] < valid_len, logits, MASK_VALUE)
+        cls_attn = jax.nn.softmax(logits, axis=-1)
+        scores = jnp.mean(cls_attn[:, :, 1:], axis=1)  # (B, N-1) over non-CLS
+        return out, scores
+
+
 class BlockEViT(nn.Module):
     """Pre-norm block with EViT token reorganization (reference
     ``Attention_EVIT``, ``vit.py:291-343`` — defined there but never consumed
     by a Block; wired here at the EViT paper's fuse point: after the
     attention residual, before the MLP). Keeps the top
-    ``int(keep_rate * (N-1))`` non-CLS tokens by head-mean CLS attention.
-    Dense attention by necessity — the selection needs the CLS row of the
-    probability matrix. The keep count is static (jit-stable shapes)."""
+    ``int(keep_rate * (N_valid-1))`` non-CLS tokens by head-mean CLS
+    attention. The keep count is static (jit-stable shapes).
+
+    TPU-native design: attention runs the flash kernel and the CLS scores are
+    recomputed from the CLS query row (see :class:`_EViTAttention`) — the
+    reference's dense-probability formulation at a 0.9 keep rate measured
+    137.9 imgs/s on the v5e vs 249.5 with pruning OFF, because three dense
+    (B,H,N,N) blocks cost more than 10% fewer tokens save. Accepts padded
+    grids (``valid_len``); returns ``(x, valid_len)`` — after a prune the
+    sequence is fully valid and the caller re-pads once. The parameter tree
+    is identical to :class:`Block`, so ``keep_rate`` is a pure runtime knob:
+    checkpoints trained dense can be served pruned and vice versa."""
 
     num_heads: int
     keep_rate: float = 1.0
@@ -240,35 +305,39 @@ class BlockEViT(nn.Module):
     qk_scale: Optional[float] = None
     drop: float = 0.0
     drop_path: float = 0.0
+    attention_impl: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
-        from ..ops.token_pruning import evit_cls_attention_select
+    def __call__(self, x: jax.Array, *, train: bool,
+                 valid_len: Optional[int] = None):
+        from ..ops.token_pruning import topk_token_select
 
         b, n, c = x.shape
-        head_dim = c // self.num_heads
-        sm_scale = self.qk_scale or head_dim**-0.5
+        n_valid = n if valid_len is None else int(valid_len)
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=dense_init,
-                       dtype=self.dtype, name="attn_qkv")(y.astype(self.dtype))
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-        attn = jax.nn.softmax(
-            jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * sm_scale,
-            axis=-1,
-        )
-        y = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
-        y = y.transpose(0, 2, 1, 3).reshape(b, n, c)
-        y = nn.Dense(c, kernel_init=dense_init, dtype=self.dtype, name="attn_proj")(y)
+        y, scores = _EViTAttention(
+            num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale, impl=self.attention_impl,
+            dtype=self.dtype, name="attn",
+        )(y.astype(self.dtype), valid_len=valid_len)
         x = x + DropPath(self.drop_path, name="drop_path1")(y, train=train)
-        if self.keep_rate < 1.0:
-            x = evit_cls_attention_select(x, attn, self.keep_rate)
+        new_valid = valid_len
+        keep = int(self.keep_rate * (n_valid - 1))
+        if self.keep_rate < 1.0 and keep < n_valid - 1:
+            if n_valid < n:
+                # padded scores underflow to 0 through the masked softmax;
+                # pin them below any real probability so top-k can't tie
+                scores = jnp.where(jnp.arange(n - 1)[None, :] < n_valid - 1,
+                                   scores, -1.0)
+            x = topk_token_select(x, scores, keep)
+            new_valid = None  # pruned grid is fully valid; caller re-pads
         dim = x.shape[-1]
         z = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         z = Mlp(hidden_features=int(dim * self.mlp_ratio), out_features=dim,
                 drop=self.drop, dtype=self.dtype, name="mlp")(z.astype(self.dtype), train=train)
-        return x + DropPath(self.drop_path, name="drop_path2")(z, train=train)
+        x = x + DropPath(self.drop_path, name="drop_path2")(z, train=train)
+        return x, new_valid
 
 
 def attention_maps(model, params, x, channel_ids, *, layer_idx: int = -1):

@@ -98,7 +98,12 @@ def evit_cls_attention_select(
     x: jax.Array, attn: jax.Array, keep_rate: float
 ) -> jax.Array:
     """EViT: keep top int(keep_rate*(N-1)) tokens by mean CLS attention
-    (``vit.py:291-343``)."""
+    (``vit.py:291-343``).
+
+    Dense-probability formulation: ``attn`` is the full (B, H, N, N) matrix.
+    The production path (``models/vit.py:_EViTAttention``) recomputes only
+    the CLS row at O(N.dh) and runs flash attention for the output; this
+    function is retained as the numerics oracle for that rework."""
     n = x.shape[1] - 1
     keep = int(keep_rate * n)
     if keep >= n:

@@ -71,6 +71,24 @@ for b in (1, 8, 32, 64):
     print(f"resident bucket {b:3d}: {dt*1e3:7.2f} ms/batch  {b/dt:8.1f} imgs/s",
           flush=True)
 
+# serve-pruned: EViT keep_rate is a pure runtime knob (BlockEViT shares the
+# plain Block's parameter tree, models/vit.py) — the SAME trained params run
+# through a pruned model clone. Device-resident, bucket 64.
+for kr in (0.9, 0.7, 0.5):
+    pruned = model.clone(backbone=model.backbone.clone(keep_rate=kr))
+    peng = ServingEngine(pruned, params, buckets=(64,), max_wait_ms=2.0)
+    exe = peng._executable(64, np.arange(C, dtype=np.int32), (IMG, IMG))
+    xdev = jnp.asarray(rng.normal(size=(64, C, IMG, IMG)).astype(np.float32))
+    out = exe(params, xdev, cids_arr)
+    float(jnp.sum(out))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = exe(params, xdev, cids_arr)
+    float(jnp.sum(out))
+    dt = (time.perf_counter() - t0) / 5
+    print(f"resident bucket  64 keep_rate {kr}: {dt*1e3:7.2f} ms/batch  "
+          f"{64/dt:8.1f} imgs/s", flush=True)
+
 # open-loop micro-batcher: 256 single-image requests as fast as we can feed
 eng.start()
 try:

@@ -59,8 +59,9 @@ def test_random_drops_shapes_and_cls():
 
 def test_evit_wired_through_channel_vit():
     """model.keep_rate < 1 routes layers depth/4, depth/2, 3depth/4 through
-    BlockEViT (reference Attention_EVIT's fuse point); forward + grads run
-    and the output differs from the unpruned model with the same params."""
+    BlockEViT (reference Attention_EVIT's fuse point); forward + grads run.
+    The EViT block's parameter tree is IDENTICAL to the plain Block, so
+    keep_rate is a runtime knob: dense-trained weights serve pruned."""
     import jax
 
     from diverse_channel_vit_tpu.models.channel_vit import ChannelVisionTransformer
@@ -84,11 +85,11 @@ def test_evit_wired_through_channel_vit():
     assert all(
         bool(jnp.all(jnp.isfinite(l))) for l in jax.tree_util.tree_leaves(g)
     )
-    # param trees differ (EViT layers use a fused qkv Dense), so compare
-    # behaviorally: the pruned model is a different function
-    p_full = full.init({"params": jax.random.key(1)}, x, cids, train=False)["params"]
-    out_f, _ = full.apply({"params": p_full}, x, cids, train=False)
+    # tree parity: the same params drive both the dense and the pruned model,
+    # and pruning actually changes the function
+    out_f, _ = full.apply({"params": p}, x, cids, train=False)
     assert out_f.shape == (2, 64)
+    assert not np.allclose(np.asarray(out_f), np.asarray(out_p), atol=1e-4)
 
 
 def test_evit_select():
@@ -136,6 +137,93 @@ def test_backbone_block_v2_pruning():
         assert all(np.all(np.isfinite(np.asarray(l))) for l in jax.tree_util.tree_leaves(g))
 
 
+def test_attention_with_scores_matches_dense_oracle():
+    """Flash-path AttentionWithScores == the dense-probability formulation:
+    output equals einsum attention, scores equal ppt_significance_scores of
+    the full matrix (the CLS row + v-norm recompute is exact)."""
+    from diverse_channel_vit_tpu.models.vit import AttentionWithScores
+
+    b, n, c, h = 2, 9, 16, 2
+    dh = c // h
+    att = AttentionWithScores(num_heads=h, impl="xla")
+    x = jax.random.normal(jax.random.key(0), (b, n, c))
+    p = att.init({"params": jax.random.key(1)}, x, train=False)["params"]
+    out, scores = att.apply({"params": p}, x, train=False)
+
+    q, k, v = (x @ p[w]["kernel"] + p[w]["bias"] for w in ("wq", "wk", "wv"))
+    qh, kh, vh = (t.reshape(b, n, h, dh).transpose(0, 2, 1, 3) for t in (q, k, v))
+    attn = jax.nn.softmax(jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * dh**-0.5, -1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", attn, vh).transpose(0, 2, 1, 3).reshape(b, n, c)
+    o = o @ p["proj"]["kernel"] + p["proj"]["bias"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(o), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(scores),
+                               np.asarray(ppt_significance_scores(attn, vh)),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_block_evit_matches_dense_oracle():
+    """The flash+CLS-row BlockEViT equals the reference's dense-probability
+    formulation (full (B,H,N,N) softmax -> evit_cls_attention_select) with
+    the same parameters — the O(N.dh) score recompute is exact, not an
+    approximation."""
+    from diverse_channel_vit_tpu.models.vit import BlockEViT
+
+    b, n, c, h, keep_rate = 2, 9, 16, 2, 0.5
+    blk = BlockEViT(num_heads=h, keep_rate=keep_rate, attention_impl="xla")
+    x = jax.random.normal(jax.random.key(0), (b, n, c))
+    p = blk.init({"params": jax.random.key(1)}, x, train=False)["params"]
+    out, new_valid = blk.apply({"params": p}, x, train=False)
+    assert new_valid is None
+    assert out.shape == (b, 1 + int(keep_rate * (n - 1)), c)
+
+    # dense oracle, replicating the old formulation from the same params
+    def dense_oracle(x):
+        def ln(x, sp):
+            mu = jnp.mean(x, -1, keepdims=True)
+            var = jnp.var(x, -1, keepdims=True)
+            return (x - mu) / jnp.sqrt(var + 1e-6) * sp["scale"] + sp["bias"]
+
+        dh = c // h
+        y = ln(x, p["norm1"])
+        q, k, v = (y @ p["attn"][w]["kernel"] + p["attn"][w]["bias"]
+                   for w in ("wq", "wk", "wv"))
+        qh, kh, vh = (t.reshape(b, n, h, dh).transpose(0, 2, 1, 3) for t in (q, k, v))
+        attn = jax.nn.softmax(jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * dh**-0.5, -1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", attn, vh).transpose(0, 2, 1, 3).reshape(b, n, c)
+        o = o @ p["attn"]["proj"]["kernel"] + p["attn"]["proj"]["bias"]
+        x = x + o
+        x = evit_cls_attention_select(x, attn, keep_rate)
+        z = ln(x, p["norm2"])
+        from diverse_channel_vit_tpu.ops.activations import gelu
+
+        z = gelu(z @ p["mlp"]["fc1"]["kernel"] + p["mlp"]["fc1"]["bias"])
+        z = z @ p["mlp"]["fc2"]["kernel"] + p["mlp"]["fc2"]["bias"]
+        return x + z
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense_oracle(x)),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_block_evit_padded_equals_unpadded():
+    """A zero-padded grid with valid_len produces the same valid outputs as
+    the unpadded grid — the CLS-score softmax masks padded keys and the
+    top-k never selects them."""
+    from diverse_channel_vit_tpu.models.vit import BlockEViT
+
+    b, n, c, h = 2, 9, 16, 2
+    pad = 4
+    blk = BlockEViT(num_heads=h, keep_rate=0.5, attention_impl="xla")
+    x = jax.random.normal(jax.random.key(0), (b, n, c))
+    p = blk.init({"params": jax.random.key(1)}, x, train=False)["params"]
+    out, nv = blk.apply({"params": p}, x, train=False)
+    xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    out_p, nv_p = blk.apply({"params": p}, xp, train=False, valid_len=n)
+    assert nv is None and nv_p is None  # both pruned to fully-valid grids
+    assert out_p.shape == out.shape
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_backbone_evit_keep_rate():
     # keep_rate wired through BlockEViT at layers {depth//4, depth//2,
     # 3*depth//4} — with depth=2 that's layers {0, 1}
@@ -144,8 +232,8 @@ def test_backbone_evit_keep_rate():
     cids = jnp.arange(6)
     params = m.init({"params": jax.random.key(1), "dropout": jax.random.key(2)},
                     x, cids, train=False)["params"]
-    # EViT blocks inline their attention (attn_qkv), plain blocks nest it
-    assert "attn_qkv" in params["block_0"]
+    # EViT blocks share the plain Block's parameter tree (attn/wq..proj)
+    assert "wq" in params["block_0"]["attn"]
     out, _ = m.apply({"params": params}, x, cids, train=True,
                      rngs={"dropout": jax.random.key(3)})
     assert out.shape == (2, 32)
