@@ -50,6 +50,7 @@ def _build_channel_vit(cfg_model, mapper: dict, num_classes: int, dtype) -> Chan
         block_type=cfg_model.get("block_type", "block") or "block",
         dropout_tokens_hcs=cfg_model.get("dropout_tokens_hcs", "none") or "none",
         keep_rate=cfg_model.get("keep_rate"),
+        token_keep_channels=cfg_model.get("token_keep_channels"),
         remat=bool(cfg_model.get("remat", False)),
         scan_blocks=bool(cfg_model.get("scan_blocks", False)),
         dtype=dtype,

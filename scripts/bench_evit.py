@@ -11,6 +11,8 @@ reference copies.
 Run: python scripts/bench_evit.py [keep_rate ...]
      python scripts/bench_evit.py quality [steps]   # overfit-trajectory
      # comparison keep_rate 1.0 vs 0.7 on one fixed batch, same init/draws
+     python scripts/bench_evit.py ppt               # block_v2 PPT pruning
+     # (per-block token_pruning, kc/c tail fraction) vs the plain block
 """
 
 import math
@@ -33,7 +35,7 @@ from diverse_channel_vit_tpu.trainer import Trainer
 IMG, BATCH = 224, 64
 
 
-def _make(keep_rate: float):
+def _make(keep_rate: float, extra: list | None = None):
     overrides = [
         "model=dichavit",
         "train.num_epochs=1",
@@ -50,6 +52,7 @@ def _make(keep_rate: float):
     ]
     if keep_rate < 1.0:
         overrides.append(f"++model.keep_rate={keep_rate}")
+    overrides += extra or []
     trainer = Trainer(load_config("synthetic_cfg", overrides))
     cids = trainer._chunk_channel_ids("train")
     step = trainer._get_train_step(cids, None, chunk=trainer._default_chunk)
@@ -61,8 +64,9 @@ def _make(keep_rate: float):
     return trainer, step, data
 
 
-def bench_one(keep_rate: float) -> float:
-    trainer, step, data = _make(keep_rate)
+def bench_one(keep_rate: float, extra: list | None = None,
+              tag: str = "keep_rate") -> float:
+    trainer, step, data = _make(keep_rate, extra)
     state, key = trainer.state, jax.random.key(2)
     t_c0 = time.perf_counter()
     state, m = step(state, data, key)
@@ -79,7 +83,7 @@ def bench_one(keep_rate: float) -> float:
     dt = (time.perf_counter() - t0) / iters
     assert math.isfinite(loss0) and math.isfinite(loss1), keep_rate
     ips = BATCH / dt
-    print(f"keep_rate {keep_rate:4.2f} {dt * 1e3:8.1f} ms/step {ips:8.1f} imgs/s "
+    print(f"{tag} {keep_rate:4.2f} {dt * 1e3:8.1f} ms/step {ips:8.1f} imgs/s "
           f"(loss {loss0:.3f} -> {loss1:.3f}, compile {compile_s:.0f}s)",
           flush=True)
     return ips
@@ -106,9 +110,23 @@ def quality(steps: int):
         print(f"{i:4d}  {a:7.4f}  {b:7.4f}")
 
 
+def ppt():
+    """block_v2 PPT per-block token pruning (AttentionWithScores, flash +
+    CLS-row significance) vs the plain block, at kc in {4 (=C/2 default), 6}.
+    Reference role: ``vit.py:402-492`` BlockV2 consumed by channel_vit."""
+    bench_one(1.0, tag="ppt off  ")
+    for kc in (6, 4):
+        bench_one(1.0, extra=["++model.block_type=block_v2",
+                              "++model.dropout_tokens_hcs=token_pruning",
+                              f"++model.token_keep_channels={kc}"],
+                  tag=f"ppt kc={kc}")
+
+
 if __name__ == "__main__":
     if sys.argv[1:2] == ["quality"]:
         quality(int(sys.argv[2]) if len(sys.argv) > 2 else 120)
+    elif sys.argv[1:2] == ["ppt"]:
+        ppt()
     else:
         rates = [float(r) for r in sys.argv[1:]] or [1.0, 0.9, 0.7, 0.5]
         for r in rates:
