@@ -17,6 +17,12 @@ flash attention x12 + CDL/TDL diversity losses + AdamW, bfloat16):
 4. **int8_dh128** — dh=128 with ``model.quantization=int8`` (opt-in
    in-VMEM AQT GEMMs in the fused MLP; int8 is 2x the MXU's bf16 peak).
    Changes training numerics, hence a separate metric.
+5. **evit_k07** — flash-native EViT token pruning at ``keep_rate=0.7``
+   (prunes at layers 3/6/9), reference 6-head geometry, flagship workload;
+   and the same knob on the dh=128 recipe workload
+   (``mxu_native_evit_recipe_value``). A documented quality trade (~1%
+   loss-trajectory drift, PERFORMANCE.md) — the param tree is identical to
+   the dense model, so it is a pure runtime knob.
 
 ``vs_baseline`` compares against an *estimated* A100 PyTorch reference
 (the repo publishes no numbers, BASELINE.md): ~82 GFLOPs forward/img at
@@ -229,6 +235,22 @@ def main():
     dh128_int8 /= n_devices
     set_quantization("none")
 
+    # 6/7: flash-native EViT keep_rate=0.7 — identical param tree (runtime
+    # knob); reference geometry flagship + dh=128 recipe workloads
+    model, state, data, mesh = _setup(6, b)
+    model_e = model.clone(backbone=model.backbone.clone(keep_rate=0.7))
+    evit, _ = _measure(state, data, [_mk_step(model_e, None, mesh)], b, iters=20)
+    evit /= n_devices
+    model128, state128, data, mesh = _setup(3, b)
+    model128_e = model128.clone(backbone=model128.backbone.clone(keep_rate=0.7))
+    steps_e = {k: _mk_step(model128_e, k, mesh) for k in sorted(set(ks))}
+    for s in steps_e.values():
+        state128, metrics = s(state128, data, jax.random.key(9))
+    _sync(metrics)
+    evit_recipe, _ = _measure(state128, data, [steps_e[k] for k in ks], b,
+                              iters=len(ks), warmup=0)
+    evit_recipe /= n_devices
+
     print(json.dumps({
         "metric": "dichavit_s_jumpcp_train_images_per_sec_per_chip",
         "value": round(flagship, 2),
@@ -242,6 +264,11 @@ def main():
         "mxu_native_recipe_vs_baseline": round(dh128_recipe / A100_RECIPE_IMGS_PER_SEC, 3),
         "int8_dh128_value": round(dh128_int8, 2),
         "int8_dh128_vs_baseline": round(dh128_int8 / A100_FLAGSHIP_IMGS_PER_SEC, 3),
+        "evit_k07_value": round(evit, 2),
+        "evit_k07_vs_baseline": round(evit / A100_FLAGSHIP_IMGS_PER_SEC, 3),
+        "mxu_native_evit_recipe_value": round(evit_recipe, 2),
+        "mxu_native_evit_recipe_vs_baseline": round(
+            evit_recipe / A100_RECIPE_IMGS_PER_SEC, 3),
     }))
 
 
