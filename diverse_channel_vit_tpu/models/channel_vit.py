@@ -119,6 +119,11 @@ class ChannelVisionTransformer(nn.Module):
     keep_rate: Optional[float] = None  # EViT-style CLS-attention top-k (unused by ref recipes)
     remat: bool = False  # rematerialize blocks (trade FLOPs for HBM headroom)
     scan_blocks: bool = False  # compile blocks as one nn.scan loop (fast compile)
+    # inference-only: the last block runs its queries + MLP on the CLS row
+    # alone (exact — downstream reads only CLS). Auto-disabled whenever full
+    # rows are observable (train, intermediates capture, xla_capture, remat,
+    # scan, ring attention).
+    cls_only_readout: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -257,6 +262,26 @@ class ChannelVisionTransformer(nn.Module):
 
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
         kc = self.token_keep_channels or max(1, math.ceil(0.5 * c))
+        from ..ops import ring_attention as _ring
+
+        # last-block CLS-only readout: only the CLS row of the final block is
+        # consumed (the final LN is already CLS-only), so its queries and MLP
+        # run on one token. Exact for inference AND training (dead rows carry
+        # zero gradient; the diversity losses attach at the patch embed).
+        # Gated off whenever the full final-block rows are observable:
+        # intermediates capture (MIRO pre-featurizer taps, training/miro.py),
+        # dense attention-prob capture (attention_maps), remat closures,
+        # sequence-parallel runs (the CLS row lives on one shard), and
+        # active element-wise dropouts at train (fewer rows would reshuffle
+        # the CLS row's mask draw; DropPath is per-sample and stays exact).
+        cls_last = (
+            self.cls_only_readout
+            and not self.remat
+            and self.attention_impl != "xla_capture"
+            and not self.is_mutable_collection("intermediates")
+            and _ring.active_ring() is None
+            and (not train or (self.drop_rate == 0.0 and self.attn_drop_rate == 0.0))
+        )
         for i in range(self.depth):
             if self.block_type == "block_v2":
                 from .vit import BlockV2
@@ -324,7 +349,8 @@ class ChannelVisionTransformer(nn.Module):
                     lambda mdl, xx: mdl(xx, train=train, valid_len=valid_len)
                 )(blk, xseq)
             else:
-                xseq = blk(xseq, train=train, valid_len=valid_len)
+                xseq = blk(xseq, train=train, valid_len=valid_len,
+                           cls_query=cls_last and i == self.depth - 1)
 
         # LayerNorm is per-token: norm only the CLS row we actually read
         cls_out = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(xseq[:, :1])

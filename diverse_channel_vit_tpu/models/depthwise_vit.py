@@ -47,6 +47,8 @@ class DepthwiseViT(nn.Module):
     pooling_channel_type: str = "channel_weights"  # or "attention"
     attn_pooling: Optional[dict] = None
     attention_impl: str = "auto"
+    # inference-only last-block CLS readout, threaded to ViTTrunk (trunk.py)
+    cls_only_readout: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -118,6 +120,7 @@ class DepthwiseViT(nn.Module):
             attn_drop_rate=self.attn_drop_rate,
             drop_path_rate=self.drop_path_rate,
             attention_impl=self.attention_impl,
+            cls_only_readout=self.cls_only_readout,
             dtype=self.dtype,
             name="trunk",
         )(pooled, (h // p, w // p), train=train)
@@ -141,6 +144,7 @@ def depthwisevit_adapt(cfg_model, mapper: dict, num_classes: int, dtype=jnp.floa
         pooling_channel_type=pooling_type,
         attn_pooling=attn_pooling,
         attention_impl=cfg_model.get("attention_impl", "auto"),
+        cls_only_readout=bool(cfg_model.get("cls_only_readout", True)),
         dtype=dtype,
         **preset,
     )

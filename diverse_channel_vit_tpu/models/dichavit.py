@@ -47,6 +47,7 @@ def _build_channel_vit(cfg_model, mapper: dict, num_classes: int, dtype) -> Chan
         use_square=cfg_model.get("use_square", False),
         temperature=cfg_model.get("temperature", 0.11111),
         attention_impl=cfg_model.get("attention_impl", "auto"),
+        cls_only_readout=bool(cfg_model.get("cls_only_readout", True)),
         block_type=cfg_model.get("block_type", "block") or "block",
         dropout_tokens_hcs=cfg_model.get("dropout_tokens_hcs", "none") or "none",
         keep_rate=cfg_model.get("keep_rate"),

@@ -48,6 +48,8 @@ class HyperNetViT(nn.Module):
     use_conv1x1: bool = False
     freeze_z_emb: bool = False
     attention_impl: str = "auto"
+    # inference-only last-block CLS readout, threaded to ViTTrunk (trunk.py)
+    cls_only_readout: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -105,6 +107,7 @@ class HyperNetViT(nn.Module):
             attn_drop_rate=self.attn_drop_rate,
             drop_path_rate=self.drop_path_rate,
             attention_impl=self.attention_impl,
+            cls_only_readout=self.cls_only_readout,
             dtype=self.dtype,
             name="trunk",
         )(tokens, (h // p, w // p), train=train)
@@ -128,6 +131,7 @@ def hypervit_adapt(cfg_model, mapper: dict, num_classes: int, dtype=jnp.float32)
         use_conv1x1=cfg_model.get("use_conv1x1", False),
         freeze_z_emb=cfg_model.get("freeze_z_emb", False),
         attention_impl=cfg_model.get("attention_impl", "auto"),
+        cls_only_readout=bool(cfg_model.get("cls_only_readout", True)),
         dtype=dtype,
         **preset,
     )

@@ -44,6 +44,8 @@ class TemplateMixingViT(nn.Module):
     num_templates: int = 64
     kernel_size: int = 3
     attention_impl: str = "auto"
+    # inference-only last-block CLS readout, threaded to ViTTrunk (trunk.py)
+    cls_only_readout: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -99,6 +101,7 @@ class TemplateMixingViT(nn.Module):
             attn_drop_rate=self.attn_drop_rate,
             drop_path_rate=self.drop_path_rate,
             attention_impl=self.attention_impl,
+            cls_only_readout=self.cls_only_readout,
             dtype=self.dtype,
             name="trunk",
         )(tokens, (h0, w0), train=train)
@@ -118,6 +121,7 @@ def templatemixingvit(cfg_model, mapper: dict, num_classes: int, dtype=jnp.float
         drop_path_rate=cfg_model.get("drop_path_rate", 0.0),
         num_templates=cfg_model.get("num_templates") or 64,
         attention_impl=cfg_model.get("attention_impl", "auto"),
+        cls_only_readout=bool(cfg_model.get("cls_only_readout", True)),
         dtype=dtype,
         **preset,
     )

@@ -34,6 +34,9 @@ class ViTTrunk(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     attention_impl: str = "auto"
+    # inference-only: last block's queries + MLP on the CLS row alone (exact;
+    # same gates as channel_vit.ChannelVisionTransformer.cls_only_readout)
+    cls_only_readout: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -64,6 +67,17 @@ class ViTTrunk(nn.Module):
             attention_impl=self.attention_impl,
         )
 
+        from ..ops import ring_attention as _ring
+
+        # last-block CLS-only readout at inference (see channel_vit.py) —
+        # only the CLS row below survives the final slice
+        cls_last = (
+            self.cls_only_readout
+            and self.attention_impl != "xla_capture"
+            and not self.is_mutable_collection("intermediates")
+            and _ring.active_ring() is None
+            and (not train or (self.drop_rate == 0.0 and self.attn_drop_rate == 0.0))
+        )
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
         for i in range(self.depth):
             x = Block(
@@ -76,7 +90,8 @@ class ViTTrunk(nn.Module):
                 attention_impl=self.attention_impl,
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(x, train=train, valid_len=valid_len)
+            )(x, train=train, valid_len=valid_len,
+              cls_query=cls_last and i == self.depth - 1)
         # LayerNorm is per-token: norm only the CLS row we read
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x[:, :1])
         return x[:, 0].astype(jnp.float32)

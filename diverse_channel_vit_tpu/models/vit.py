@@ -74,7 +74,8 @@ class Attention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool, valid_len: Optional[int] = None) -> jax.Array:
+    def __call__(self, x: jax.Array, *, train: bool, valid_len: Optional[int] = None,
+                 cls_query: bool = False) -> jax.Array:
         b, n, c = x.shape
         head_dim = c // self.num_heads
         sm_scale = self.qk_scale or head_dim**-0.5
@@ -85,9 +86,33 @@ class Attention(nn.Module):
         # zero layout copies around the attention custom-call, measured
         # 47.6 ms/step at flagship geometry with the fused-qkv layout.
         # Numerically identical (one linear map either way).
-        q = nn.Dense(c, use_bias=self.qkv_bias, kernel_init=dense_init, dtype=self.dtype, name="wq")(x)
+        q = nn.Dense(c, use_bias=self.qkv_bias, kernel_init=dense_init, dtype=self.dtype, name="wq")(
+            x[:, :1] if cls_query else x)
         k = nn.Dense(c, use_bias=self.qkv_bias, kernel_init=dense_init, dtype=self.dtype, name="wk")(x)
         v = nn.Dense(c, use_bias=self.qkv_bias, kernel_init=dense_init, dtype=self.dtype, name="wv")(x)
+
+        if cls_query:
+            # inference-only CLS-readout path (Block(..., cls_query=True)):
+            # only the CLS attention row is needed, so attention collapses to
+            # an O(B*H*N*dh) matvec — exactly the softmax-row identity the
+            # EViT rework uses (models/vit.py:_EViTAttention). Dense XLA ops;
+            # a 1-row q does not fit (or need) the flash kernel.
+            qh = q.reshape(b, 1, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+            kh = k.reshape(b, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+            vh = v.reshape(b, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+            s = jnp.einsum(
+                "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+            ) * sm_scale
+            if valid_len is not None and valid_len < n:
+                from ..ops.attention import MASK_VALUE
+
+                key_mask = jnp.arange(n) < valid_len
+                s = jnp.where(key_mask[None, None, None, :], s, MASK_VALUE)
+            p = jax.nn.softmax(s, axis=-1)
+            out = jnp.einsum("bhqk,bhkd->bqhd", p.astype(vh.dtype), vh)
+            out = out.reshape(b, 1, c)
+            out = nn.Dense(c, kernel_init=dense_init, dtype=self.dtype, name="proj")(out)
+            return nn.Dropout(self.proj_drop, deterministic=not train)(out)
 
         from ..ops import ring_attention as _ring
 
@@ -570,8 +595,37 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool, valid_len: Optional[int] = None,
-                 drop_path_override: Optional[jax.Array] = None) -> jax.Array:
+                 drop_path_override: Optional[jax.Array] = None,
+                 cls_query: bool = False) -> jax.Array:
         dim = x.shape[-1]
+        if cls_query:
+            # last-block CLS readout: downstream consumes ONLY the CLS row,
+            # so this block's queries and MLP run on one token (keys/values
+            # still see the full grid). Exact for inference AND training —
+            # the dropped rows' forward values are dead code and their
+            # gradients are zero (the loss reads only CLS; diversity losses
+            # attach at the patch embed). Callers gate dropouts>0 at train
+            # (dropout masks are per-element, so fewer rows would reshuffle
+            # the CLS row's draw); DropPath's per-sample (B,1,1) mask draws
+            # identically either way.
+            y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+            a = Attention(
+                num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale, attn_drop=self.attn_drop,
+                proj_drop=self.drop, impl=self.attention_impl,
+                dtype=self.dtype, name="attn",
+            )(y.astype(self.dtype), train=train, valid_len=valid_len, cls_query=True)
+            xc = x[:, :1] + DropPath(self.drop_path, name="drop_path1")(
+                a, train=train, rate_override=drop_path_override
+            )
+            y2 = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(xc)
+            y2 = Mlp(
+                hidden_features=int(dim * self.mlp_ratio), out_features=dim,
+                drop=self.drop, dtype=self.dtype, name="mlp",
+            )(y2.astype(self.dtype), train=train)
+            return xc + DropPath(self.drop_path, name="drop_path2")(
+                y2, train=train, rate_override=drop_path_override
+            )
         if self._fused_ok(x, train):
             x = x.astype(self.dtype)
             fuse_res = (not train) or (

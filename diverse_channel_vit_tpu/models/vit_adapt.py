@@ -42,6 +42,8 @@ class SlicedPatchVisionTransformer(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     attention_impl: str = "auto"
+    # inference-only last-block CLS readout (see channel_vit.py gates)
+    cls_only_readout: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -89,6 +91,15 @@ class SlicedPatchVisionTransformer(nn.Module):
             attention_impl=self.attention_impl,
         )
 
+        from ..ops import ring_attention as _ring
+
+        cls_last = (
+            self.cls_only_readout
+            and self.attention_impl != "xla_capture"
+            and not self.is_mutable_collection("intermediates")
+            and _ring.active_ring() is None
+            and (not train or (self.drop_rate == 0.0 and self.attn_drop_rate == 0.0))
+        )
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
         for i in range(self.depth):
             xseq = Block(
@@ -101,7 +112,8 @@ class SlicedPatchVisionTransformer(nn.Module):
                 attention_impl=self.attention_impl,
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(xseq, train=train, valid_len=valid_len)
+            )(xseq, train=train, valid_len=valid_len,
+              cls_query=cls_last and i == self.depth - 1)
 
         # LayerNorm is per-token: norm only the CLS row we read
         xseq = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(xseq[:, :1])
@@ -120,6 +132,7 @@ def vit_adapt(cfg_model, mapper: dict, num_classes: int, dtype=jnp.float32):
         patch_size=cfg_model.get("patch_size", 16),
         drop_path_rate=cfg_model.get("drop_path_rate", 0.0),
         attention_impl=cfg_model.get("attention_impl", "auto"),
+        cls_only_readout=bool(cfg_model.get("cls_only_readout", True)),
         dtype=dtype,
         **preset,
     )

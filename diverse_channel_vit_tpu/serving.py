@@ -21,6 +21,12 @@ compilation model:
   bucket family.
 - bf16 activations by default (params stay as trained); donation-free —
   weights are shared across in-flight requests.
+- Optional int8 serving (``quantization="int8"``): the engine's programs
+  compile with the in-VMEM AQT GEMMs of ``ops.fused_block`` (per-row
+  dynamic activation absmax, per-column weight absmax, int32 accumulate).
+  Inference is forward-only, so the quality cost is the per-GEMM ~1e-2
+  relative error alone — no gradient amplification. Scoped per engine: the
+  process-wide training default is untouched.
 
 Latency accounting: per-request wall time (submit -> result ready) feeds a
 reservoir; ``stats()`` reports p50/p95/p99 and throughput.
@@ -88,9 +94,15 @@ class ServingEngine:
         max_batch: Optional[int] = None,
         max_wait_ms: float = 2.0,
         dtype=jnp.bfloat16,
+        quantization: Optional[str] = None,
     ):
+        if quantization not in (None, "none", "int8"):
+            raise ValueError(f"unknown quantization mode: {quantization!r}")
         self.model = model
         self.params = params
+        # None inherits the process default (training config); a string pins
+        # this engine's programs regardless of it
+        self.quantization = quantization
         self.buckets = sorted(set(int(b) for b in buckets))
         self.max_batch = int(max_batch or self.buckets[-1])
         if self.max_batch not in self.buckets:
@@ -128,7 +140,18 @@ class ServingEngine:
                         self.params,
                     )
                     c = jax.ShapeDtypeStruct((len(cids),), jnp.int32)
-                    exe = jax.jit(self._fwd).lower(p, x, c).compile()
+                    # the quantization flag is read at TRACE time — scope it
+                    # to this compile so the process-wide (training) default
+                    # is untouched; we already hold self._lock here
+                    from .ops import fused_block as _fb
+
+                    prev = _fb.QUANTIZATION_DEFAULT
+                    if self.quantization is not None:
+                        _fb.set_quantization(self.quantization)
+                    try:
+                        exe = jax.jit(self._fwd).lower(p, x, c).compile()
+                    finally:
+                        _fb.set_quantization(prev)
                     self._compiled[key] = exe
         return exe
 

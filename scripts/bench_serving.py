@@ -89,6 +89,25 @@ for kr in (0.9, 0.7, 0.5):
     print(f"resident bucket  64 keep_rate {kr}: {dt*1e3:7.2f} ms/batch  "
           f"{64/dt:8.1f} imgs/s", flush=True)
 
+# int8 serving: forward-only, so the fused-MLP AQT GEMMs pay no gradient
+# cost; engine-scoped flag (process default untouched). Same trained params.
+for kr in (None, 0.7):
+    m = model if kr is None else model.clone(
+        backbone=model.backbone.clone(keep_rate=kr))
+    qeng = ServingEngine(m, params, buckets=(64,), quantization="int8")
+    exe = qeng._executable(64, np.arange(C, dtype=np.int32), (IMG, IMG))
+    xdev = jnp.asarray(rng.normal(size=(64, C, IMG, IMG)).astype(np.float32))
+    out = exe(params, xdev, cids_arr)
+    float(jnp.sum(out))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = exe(params, xdev, cids_arr)
+    float(jnp.sum(out))
+    dt = (time.perf_counter() - t0) / 5
+    tag = "dense" if kr is None else f"keep_rate {kr}"
+    print(f"resident bucket  64 int8 {tag}: {dt*1e3:7.2f} ms/batch  "
+          f"{64/dt:8.1f} imgs/s", flush=True)
+
 # open-loop micro-batcher: 256 single-image requests as fast as we can feed
 eng.start()
 try:

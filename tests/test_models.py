@@ -125,3 +125,133 @@ class TestViTAdapt:
         x2 = x[:, [1, 4]]
         out2, _ = model.apply(variables, x2, jnp.array([1, 4]), train=False)
         assert out2.shape == (2, 4)
+
+
+class TestClsOnlyReadout:
+    """Inference-only last-block CLS readout (models/vit.py Block cls_query):
+    the final block's queries + MLP run on the CLS row alone. Exact — not an
+    approximation — because every consumer reads only the CLS embedding
+    (reference forward_features returns x[:, 0], vit.py:612-638)."""
+
+    def _trunk(self, cls_only, **kw):
+        from diverse_channel_vit_tpu.models.channel_vit import ChannelVisionTransformer
+
+        return ChannelVisionTransformer(
+            num_total_channels=4, img_size=32, patch_size=16, embed_dim=96,
+            depth=3, num_heads=3, attention_impl="xla",
+            cls_only_readout=cls_only, **kw,
+        )
+
+    def _init(self, model):
+        x = jax.random.normal(jax.random.key(1), (2, 4, 32, 32))
+        cids = jnp.arange(4)
+        p = jax.jit(
+            lambda r: model.init({"params": r}, x, cids, train=False)["params"]
+        )(jax.random.key(0))
+        return x, cids, p
+
+    def test_eval_forward_identical(self):
+        m0, m1 = self._trunk(False), self._trunk(True)
+        x, cids, p = self._init(m0)
+        o0, _ = m0.apply({"params": p}, x, cids, train=False)
+        o1, _ = m1.apply({"params": p}, x, cids, train=False)
+        np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_init_tree_identical(self):
+        """Params created THROUGH the cls_query branch (init runs at
+        train=False) must match the dense branch tree bit-for-bit."""
+        m0, m1 = self._trunk(False), self._trunk(True)
+        x, cids, p0 = self._init(m0)
+        _, _, p1 = self._init(m1)
+        assert jax.tree_util.tree_all(
+            jax.tree_util.tree_map(lambda a, b: bool(jnp.all(a == b)), p0, p1)
+        )
+
+    def test_train_loss_and_grads_identical(self):
+        """Exact at train too: the final block's non-CLS rows are dead code
+        (zero gradient — only CLS feeds the head; diversity losses attach at
+        the patch embed). Includes stochastic depth: DropPath's per-sample
+        mask draws identically on the 1-row branch."""
+        kw = dict(drop_path_rate=0.1, proxy_loss_lambda=1e-3,
+                  ortho_loss_v1_lambda=1e-3)
+        m0, m1 = self._trunk(False, **kw), self._trunk(True, **kw)
+        x, cids, p = self._init(m0)
+        rngs = {"dropout": jax.random.key(2), "sampling": jax.random.key(3)}
+
+        def loss(params, m):
+            cls, extra = m.apply({"params": params}, x, cids, train=True, rngs=rngs)
+            return jnp.sum(cls.astype(jnp.float32) ** 2) * 1e-2 + extra
+
+        l0, g0 = jax.value_and_grad(lambda q: loss(q, m0))(p)
+        l1, g1 = jax.value_and_grad(lambda q: loss(q, m1))(p)
+        assert abs(float(l0 - l1)) < 1e-5
+        for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-6, rtol=5e-4)
+
+    def test_train_dropout_gate(self):
+        """Element-wise dropout draws per-element masks, so fewer rows would
+        reshuffle the CLS row's draw — active dropouts must force the dense
+        path (outputs bit-equal between the flags)."""
+        m0 = self._trunk(False, drop_rate=0.1)
+        m1 = self._trunk(True, drop_rate=0.1)
+        x, cids, p = self._init(m0)
+        rngs = {"dropout": jax.random.key(2), "sampling": jax.random.key(3)}
+        o0, _ = m0.apply({"params": p}, x, cids, train=True, rngs=rngs)
+        o1, _ = m1.apply({"params": p}, x, cids, train=True, rngs=rngs)
+        np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+    def test_capture_sees_full_rows(self):
+        """MIRO taps (training/miro.py) capture per-block outputs with
+        train=False — the gate must keep the LAST block full-shaped there,
+        or the pre-featurizer taps silently broadcast against (B,1,D)."""
+        from diverse_channel_vit_tpu.training.miro import tap_filter, _flatten_taps
+
+        m1 = self._trunk(True)
+        x, cids, p = self._init(m1)
+        _, v = m1.apply({"params": p}, x, cids, train=False,
+                        capture_intermediates=tap_filter,
+                        mutable=["intermediates"])
+        taps = _flatten_taps(v["intermediates"])
+        n_tok = 4 * 4 + 1
+        assert all(a.shape == (2, n_tok, 96) for a in taps.values())
+
+    def test_vit_adapt_trunk_parity(self):
+        from diverse_channel_vit_tpu.models.vit_adapt import SlicedPatchVisionTransformer
+
+        def build(flag):
+            return SlicedPatchVisionTransformer(
+                num_total_channels=4, img_size=32, patch_size=16, embed_dim=96,
+                depth=2, num_heads=3, attention_impl="xla",
+                cls_only_readout=flag,
+            )
+
+        m0, m1 = build(False), build(True)
+        x = jax.random.normal(jax.random.key(1), (2, 4, 32, 32))
+        cids = jnp.arange(4)
+        p = jax.jit(
+            lambda r: m0.init({"params": r}, x, cids, train=False)["params"]
+        )(jax.random.key(0))
+        o0, _ = m0.apply({"params": p}, x, cids, train=False)
+        o1, _ = m1.apply({"params": p}, x, cids, train=False)
+        np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_shared_trunk_parity(self):
+        from diverse_channel_vit_tpu.models.trunk import ViTTrunk
+
+        def build(flag):
+            return ViTTrunk(img_size=32, patch_size=16, embed_dim=96, depth=2,
+                            num_heads=3, attention_impl="xla",
+                            cls_only_readout=flag)
+
+        m0, m1 = build(False), build(True)
+        tokens = jax.random.normal(jax.random.key(1), (2, 4, 96))
+        p = jax.jit(
+            lambda r: m0.init({"params": r}, tokens, (2, 2), train=False)["params"]
+        )(jax.random.key(0))
+        o0 = m0.apply({"params": p}, tokens, (2, 2), train=False)
+        o1 = m1.apply({"params": p}, tokens, (2, 2), train=False)
+        np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                                   atol=2e-5, rtol=2e-5)

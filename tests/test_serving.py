@@ -167,3 +167,48 @@ def test_stop_fails_stranded_futures(engine):
     eng.stop()
     with pytest.raises(RuntimeError, match="stopped"):
         fut.result(timeout=5)
+
+
+def test_engine_scoped_int8_quantization():
+    """`quantization="int8"` compiles THIS engine's programs with the AQT
+    fused-MLP GEMMs (forward-only int8 serving) without touching the
+    process-wide training default. Fused path forced on via the Pallas
+    interpreter; geometry chosen so the fused gate admits it with NO padding
+    (CPU never pads): 7 channels x 9 patches + CLS = 64 tokens, dim=128,
+    dh=64. depth=2 because the LAST block serves through the CLS-readout
+    dense branch (cls_only_readout) and bypasses the fused int8 MLP — block
+    0 carries the AQT GEMMs."""
+    from diverse_channel_vit_tpu.ops import fused_block as fb
+    from diverse_channel_vit_tpu.models.channel_vit import ChannelVisionTransformer
+    from diverse_channel_vit_tpu.models.wrappers import ChannelAdaptiveClassifier
+
+    cq, img = 7, 48
+    backbone = ChannelVisionTransformer(
+        num_total_channels=cq, img_size=img, patch_size=PATCH, embed_dim=128,
+        depth=2, num_heads=2, dtype=jnp.bfloat16,
+    )
+    model = ChannelAdaptiveClassifier(backbone=backbone, embed_dim=128,
+                                      num_classes=5, with_head=True)
+    x0 = jnp.zeros((2, cq, img, img), jnp.float32)
+    params = jax.jit(
+        lambda r: model.init({"params": r}, x0, jnp.arange(cq), train=False)["params"]
+    )(jax.random.key(0))
+    imgs = np.random.default_rng(7).normal(size=(2, cq, img, img)).astype(np.float32)
+
+    assert fb.QUANTIZATION_DEFAULT == "none"
+    fb.FORCE_ON_CPU = True
+    try:
+        dense = ServingEngine(model, params, buckets=(2,)).predict(
+            imgs, list(range(cq)))
+        q = ServingEngine(model, params, buckets=(2,), quantization="int8").predict(
+            imgs, list(range(cq)))
+    finally:
+        fb.FORCE_ON_CPU = False
+    # engine-scoped: the process default survives both compiles
+    assert fb.QUANTIZATION_DEFAULT == "none"
+    assert np.any(dense != q)  # int8 GEMMs actually engaged
+    # forward-only per-GEMM quantisation error ~1e-2 (test_fused_block bounds)
+    np.testing.assert_allclose(q, dense, atol=0.35, rtol=0.35)
+
+    with pytest.raises(ValueError):
+        ServingEngine(model, params, quantization="fp4")
