@@ -72,6 +72,25 @@ def _load_torch_state_dict(path: str) -> dict:
     return {k.removeprefix("module."): v for k, v in obj.items()}
 
 
+def build_mapper(cfg) -> dict:
+    """chunk -> global-channel-id mapper from config alone (no dataset IO).
+
+    Counterpart of the reference's hard-coded CHAMMI channel maps
+    (``trainer.py:128-150``); single-chunk datasets read the split dict out
+    of ``data_chunk.chunks[0]``. Shared by the Trainer and offline
+    consumers (``scripts/serve.py`` boots a ServingEngine from a checkpoint
+    meta.json without any dataset on disk)."""
+    name = cfg.dataset.name
+    if name == "morphem70k":
+        if len(cfg.dataset.in_channel_names) == 12:
+            return {"Allen": [0, 1, 2], "HPA": [3, 4, 5, 6], "CP": [7, 8, 9, 10, 11]}
+        return {"Allen": [5, 2, 6], "HPA": [3, 6, 5, 0], "CP": [5, 0, 7, 1, 4]}
+    entry = cfg.data_chunk.chunks[0]
+    entry = entry if isinstance(entry, dict) else entry.to_dict()
+    first_chunk = next(iter(entry))
+    return dict(entry[first_chunk])
+
+
 class Trainer:
     def __init__(self, cfg):
         self.cfg = cfg
@@ -423,17 +442,10 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _build_mapper(self) -> dict:
-        cfg = self.cfg
-        name = self.dataset_name
-        if name == "morphem70k":
-            if len(cfg.dataset.in_channel_names) == 12:
-                return {"Allen": [0, 1, 2], "HPA": [3, 4, 5, 6], "CP": [7, 8, 9, 10, 11]}
-            return {"Allen": [5, 2, 6], "HPA": [3, 6, 5, 0], "CP": [5, 0, 7, 1, 4]}
-        # single-chunk datasets: mapper = the chunk's split->channels dict
-        entry = cfg.data_chunk.chunks[0]
-        entry = entry if isinstance(entry, dict) else entry.to_dict()
-        mapper = dict(entry[self.all_chunks[0]])
-        self.cfg.train.training_chunks = "train"
+        mapper = build_mapper(self.cfg)
+        if self.dataset_name != "morphem70k":
+            # single-chunk datasets train on the lone "train" split
+            self.cfg.train.training_chunks = "train"
         return mapper
 
     def _training_chunk_list(self):

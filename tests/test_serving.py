@@ -212,3 +212,63 @@ def test_engine_scoped_int8_quantization():
 
     with pytest.raises(ValueError):
         ServingEngine(model, params, quantization="fp4")
+
+
+def test_serve_cli_boots_from_checkpoint(tmp_path):
+    """scripts/serve.py: a checkpoint directory alone (meta.json config +
+    orbax tree) boots a ServingEngine whose outputs match the direct model
+    forward, served over HTTP. No dataset files touched."""
+    import importlib.util
+    import json
+    import os
+    import urllib.request
+
+    from diverse_channel_vit_tpu.config import load_config
+    from diverse_channel_vit_tpu.serving_http import ServingHTTPServer
+    from diverse_channel_vit_tpu.trainer import Trainer
+
+    cfg = load_config(
+        "synthetic_cfg",
+        [
+            "train.num_epochs=1", "train.batch_size=16", "scheduler=none",
+            "dataset.num_train_samples=32", "dataset.num_eval_samples=16",
+            f"train.checkpoints={tmp_path}/ckpt", "hardware.num_workers=0",
+            "model.attention_impl=xla",
+        ],
+    )
+    t = Trainer(cfg)
+    t.train()
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_cli", os.path.join(os.path.dirname(__file__), "..", "scripts", "serve.py")
+    )
+    serve_cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve_cli)
+
+    model, params, scfg = serve_cli.load_serving_bundle(str(t.checkpoints))
+    assert scfg.model.name == cfg.model.name
+
+    nch = len(cfg.dataset.in_channel_names)
+    imgs = np.random.default_rng(3).normal(size=(2, nch, 32, 32)).astype(np.float32)
+    want, _ = model.apply(
+        {"params": params}, jnp.asarray(imgs), jnp.arange(nch), train=False
+    )
+
+    eng = ServingEngine(model, params, buckets=(2,))
+    got = eng.predict(imgs, list(range(nch)))
+    np.testing.assert_allclose(got, np.asarray(want), atol=2e-2, rtol=2e-2)
+
+    srv = ServingHTTPServer(eng, port=0).start()
+    try:
+        body = json.dumps(
+            {"channels": list(range(nch)), "images": imgs.tolist()}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/v1/predict", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            out = json.loads(r.read())["outputs"]
+        np.testing.assert_allclose(np.asarray(out), got, atol=1e-4, rtol=1e-4)
+    finally:
+        srv.stop()
