@@ -148,9 +148,7 @@ SECTION_DEFAULTS = {
         "gelu_exact": False,  # True = torch nn.GELU (erf) bit-parity; ~1.8ms/layer slower
         "fused_block": True,  # Pallas fused wide-qkv flash + LN+MLP path (TPU bf16)
         "quantization": "none",  # "int8": in-VMEM AQT GEMMs in the fused MLP (opt-in)
-        # inference-only: last block's queries+MLP on the CLS row alone
-        # (exact; auto-off under capture/train/ring — models/vit.py)
-        "cls_only_readout": True,
+        "cls_only_readout": True,  # last block: queries+MLP on the CLS row only (exact; auto-gated off under capture/dropout/ring — models/vit.py:cls_readout_ok)
         # size-preset overrides; num_heads=3 at ViT-S width = head_dim 128,
         # the MXU-native geometry (+42% throughput, same params/FLOPs)
         "embed_dim": None,

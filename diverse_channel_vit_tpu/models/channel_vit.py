@@ -262,25 +262,17 @@ class ChannelVisionTransformer(nn.Module):
 
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
         kc = self.token_keep_channels or max(1, math.ceil(0.5 * c))
-        from ..ops import ring_attention as _ring
-
         # last-block CLS-only readout: only the CLS row of the final block is
         # consumed (the final LN is already CLS-only), so its queries and MLP
         # run on one token. Exact for inference AND training (dead rows carry
         # zero gradient; the diversity losses attach at the patch embed).
-        # Gated off whenever the full final-block rows are observable:
-        # intermediates capture (MIRO pre-featurizer taps, training/miro.py),
-        # dense attention-prob capture (attention_maps), remat closures,
-        # sequence-parallel runs (the CLS row lives on one shard), and
-        # active element-wise dropouts at train (fewer rows would reshuffle
-        # the CLS row's mask draw; DropPath is per-sample and stays exact).
-        cls_last = (
-            self.cls_only_readout
-            and not self.remat
-            and self.attention_impl != "xla_capture"
-            and not self.is_mutable_collection("intermediates")
-            and _ring.active_ring() is None
-            and (not train or (self.drop_rate == 0.0 and self.attn_drop_rate == 0.0))
+        # Observability gates shared across trunks: vit.cls_readout_ok.
+        from .vit import cls_readout_ok
+
+        cls_last = self.cls_only_readout and cls_readout_ok(
+            self, train=train, drop_rate=self.drop_rate,
+            attn_drop_rate=self.attn_drop_rate,
+            attention_impl=self.attention_impl, remat=self.remat,
         )
         for i in range(self.depth):
             if self.block_type == "block_v2":

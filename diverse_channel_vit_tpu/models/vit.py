@@ -97,6 +97,10 @@ class Attention(nn.Module):
             # an O(B*H*N*dh) matvec — exactly the softmax-row identity the
             # EViT rework uses (models/vit.py:_EViTAttention). Dense XLA ops;
             # a 1-row q does not fit (or need) the flash kernel.
+            if train and self.attn_drop > 0.0:
+                # callers gate on cls_readout_ok; fail loud rather than
+                # silently dropping attention-probability dropout
+                raise ValueError("cls_query with active attn_drop at train")
             qh = q.reshape(b, 1, self.num_heads, head_dim).transpose(0, 2, 1, 3)
             kh = k.reshape(b, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
             vh = v.reshape(b, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
@@ -386,6 +390,32 @@ def attention_maps(model, params, x, channel_ids, *, layer_idx: int = -1):
     keys = sorted((k for k in node if k.startswith("block_")), key=lambda s: int(s.split("_")[1]))
     probs = [node[k]["attn"]["attn_probs"][0] for k in keys if "attn" in node[k]]
     return probs[layer_idx]
+
+
+def cls_readout_ok(mdl: nn.Module, *, train: bool, drop_rate: float,
+                   attn_drop_rate: float, attention_impl: str,
+                   remat: bool = False) -> bool:
+    """Is the last-block CLS-only readout (``Block(..., cls_query=True)``)
+    exact for this call? Shared by every trunk that owns the knob
+    (channel_vit / trunk / vit_adapt) so the observability gates cannot
+    drift apart. False whenever full final-block rows are observable:
+
+    - intermediates capture (MIRO pre-featurizer taps, training/miro.py)
+    - dense attention-prob capture (``attention_impl="xla_capture"``)
+    - remat closures (the remat branch never threads ``cls_query``)
+    - sequence-parallel runs (the CLS row lives on one shard)
+    - train-time element-wise dropouts (fewer rows would reshuffle the CLS
+      row's mask draw; DropPath is per-sample and stays exact)
+    """
+    from ..ops import ring_attention as _ring
+
+    return (
+        not remat
+        and attention_impl != "xla_capture"
+        and not mdl.is_mutable_collection("intermediates")
+        and _ring.active_ring() is None
+        and (not train or (drop_rate == 0.0 and attn_drop_rate == 0.0))
+    )
 
 
 class BlockStack(nn.Module):

@@ -91,14 +91,12 @@ class SlicedPatchVisionTransformer(nn.Module):
             attention_impl=self.attention_impl,
         )
 
-        from ..ops import ring_attention as _ring
+        from .vit import cls_readout_ok
 
-        cls_last = (
-            self.cls_only_readout
-            and self.attention_impl != "xla_capture"
-            and not self.is_mutable_collection("intermediates")
-            and _ring.active_ring() is None
-            and (not train or (self.drop_rate == 0.0 and self.attn_drop_rate == 0.0))
+        cls_last = self.cls_only_readout and cls_readout_ok(
+            self, train=train, drop_rate=self.drop_rate,
+            attn_drop_rate=self.attn_drop_rate,
+            attention_impl=self.attention_impl,
         )
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
         for i in range(self.depth):

@@ -49,6 +49,12 @@ import numpy as np
 
 __all__ = ["ServingEngine", "ServingStats"]
 
+# Engine compiles that override the process-wide quantization default do so
+# by set/restore around the trace — every engine compile in the process must
+# therefore serialize through ONE lock, or a concurrent engine's trace could
+# read the overridden value (a per-engine lock guards the wrong scope).
+_COMPILE_LOCK = threading.Lock()
+
 
 @dataclass
 class ServingStats:
@@ -111,7 +117,6 @@ class ServingEngine:
         self.max_wait_s = max_wait_ms / 1e3
         self.dtype = dtype
         self._compiled = {}  # (bucket, cids_key) -> compiled executable
-        self._lock = threading.Lock()
         self._queue: "queue.Queue" = queue.Queue()
         self._collector = None
         self._stop = threading.Event()
@@ -129,7 +134,9 @@ class ServingEngine:
         key = (bucket, tuple(int(c) for c in cids), tuple(img_shape))
         exe = self._compiled.get(key)
         if exe is None:
-            with self._lock:
+            # process-wide lock: quantization overrides mutate a global read
+            # at trace time, so no other engine may trace concurrently
+            with _COMPILE_LOCK:
                 exe = self._compiled.get(key)
                 if exe is None:
                     x = jax.ShapeDtypeStruct(
@@ -142,7 +149,7 @@ class ServingEngine:
                     c = jax.ShapeDtypeStruct((len(cids),), jnp.int32)
                     # the quantization flag is read at TRACE time — scope it
                     # to this compile so the process-wide (training) default
-                    # is untouched; we already hold self._lock here
+                    # is untouched
                     from .ops import fused_block as _fb
 
                     prev = _fb.QUANTIZATION_DEFAULT

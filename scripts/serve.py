@@ -43,15 +43,29 @@ def load_serving_bundle(ckpt_dir: str, name: str = "model_last"):
         meta = json.load(f)
     cfg = Config(meta["config"])
 
-    restored = ocp.StandardCheckpointer().restore(
-        os.path.abspath(os.path.join(ckpt_dir, name))
-    )
-    # checkpoints written from mesh-placed training states restore with
-    # their NamedShardings attached — materialize on host so the serving
-    # programs (single-device by design) place them fresh
+    # apply the trace-time process flags the Trainer sets from this config
+    # (trainer.py:__init__) — a checkpoint trained with erf-GELU or int8-QAT
+    # must serve the same function it trained as
+    from diverse_channel_vit_tpu.ops.activations import set_gelu_exact
+    from diverse_channel_vit_tpu.ops.fused_block import set_fused_block, set_quantization
+
+    set_gelu_exact(bool(cfg.model.get("gelu_exact", False)))
+    set_fused_block(bool(cfg.model.get("fused_block", True)))
+    set_quantization(str(cfg.model.get("quantization", "none")))
+
+    # restore ONLY the params subtree (the saved tree also carries AdamW
+    # mu/nu — ~3x the bytes — and the train rng; see checkpoint.py:53), and
+    # materialize on host: mesh-placed training states restore with their
+    # NamedShardings attached, but the serving programs are single-device
     import jax
     import numpy as np
 
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    ckptr = ocp.PyTreeCheckpointer()
+    tree_meta = ckptr.metadata(path).item_metadata
+    tree_meta = tree_meta.tree if hasattr(tree_meta, "tree") else tree_meta
+    restored = ckptr.restore(path, args=ocp.args.PyTreeRestore(
+        item={"params": tree_meta["params"]}, partial_restore=True))
     params = jax.tree_util.tree_map(np.asarray, restored["params"])
 
     num_classes = _infer_num_classes(params, cfg)
@@ -59,7 +73,11 @@ def load_serving_bundle(ckpt_dir: str, name: str = "model_last"):
     attn_pooling = cfg.get("attn_pooling")
     if attn_pooling is not None and hasattr(attn_pooling, "to_dict"):
         attn_pooling = attn_pooling.to_dict()
-    dtype = jnp.bfloat16 if cfg.train.get("dtype", "bfloat16") == "bfloat16" else jnp.float32
+    # AMP-flag parity with the Trainer: use_amp forces bf16 compute
+    dtype_name = cfg.train.get("dtype", "bfloat16")
+    if cfg.train.get("use_amp", False):
+        dtype_name = "bfloat16"
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     model = model_zoo.build_model(
         cfg.model.name, cfg.model, mapper, num_classes, dtype=dtype,
         attn_pooling=attn_pooling,
@@ -115,9 +133,12 @@ def main(argv=None):
         model = model.clone(backbone=model.backbone.clone(keep_rate=args.keep_rate))
 
     buckets = tuple(int(b) for b in args.buckets.split(","))
+    import jax.numpy as jnp
+
+    act_dtype = getattr(getattr(model, "backbone", model), "dtype", jnp.bfloat16)
     engine = ServingEngine(
         model, params, buckets=buckets, max_wait_ms=args.max_wait_ms,
-        quantization=args.quantization,
+        dtype=act_dtype, quantization=args.quantization,
     )
     srv = ServingHTTPServer(engine, host=args.host, port=args.port).start()
     print(f"serving {cfg.model.name} ({args.ckpt_dir}/{args.name}) "
