@@ -186,6 +186,10 @@ SECTION_DEFAULTS = {
         },
         "use_py_log": False,
         "scc_jobid": None,
+        # beyond reference: TensorBoard scalar sink (pairs with the
+        # jax.profiler traces train.profile_dir already writes)
+        "tensorboard": False,
+        "tensorboard_dir": "tb_logs",
     },
     "hardware": {
         "num_workers": 3,

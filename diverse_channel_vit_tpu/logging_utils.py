@@ -70,9 +70,55 @@ class LocalWandb:
         self._history.close()
 
 
+class TensorBoardSink:
+    """TensorBoard scalar sink (beyond reference — TPU-ecosystem native).
+
+    jax.profiler traces (``train.profile_dir``) are already TensorBoard
+    format; this adds the scalar half so one ``tensorboard --logdir`` shows
+    both. Lazy tensorflow import (CPU graph writer only); numeric values in
+    a dict message become ``tf.summary.scalar`` points. The step axis is an
+    explicit ``step``/``num_updates``/``epoch`` key when the message carries
+    one, else a per-sink counter.
+    """
+
+    STEP_KEYS = ("step", "num_updates", "epoch")
+
+    def __init__(self, logdir: str):
+        import tensorflow as tf  # noqa: PLC0415 — heavy, only when enabled
+
+        self._tf = tf
+        self.dir = logdir
+        self.writer = tf.summary.create_file_writer(logdir)
+        self._step = 0
+
+    def log(self, metrics: Dict[str, Any]):
+        step = None
+        for k in self.STEP_KEYS:
+            v = metrics.get(k)
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                step = int(v)
+                break
+        if step is None:
+            step = self._step
+        self._step = step + 1
+        with self.writer.as_default():
+            for k, v in metrics.items():
+                if isinstance(v, bool) or k in self.STEP_KEYS:
+                    continue
+                try:
+                    self._tf.summary.scalar(k.replace(" ", "_"), float(v), step=step)
+                except (TypeError, ValueError):
+                    continue  # non-scalar payloads (strings, arrays) are skipped
+        self.writer.flush()
+
+    def finish(self):
+        self.writer.close()
+
+
 class MyLogging:
-    """stdout / python-logging / wandb(-local) metric multiplexer
-    (``custom_log.py:131-250`` parity; dict messages log as metrics)."""
+    """stdout / python-logging / wandb(-local) / tensorboard metric
+    multiplexer (``custom_log.py:131-250`` parity; dict messages log as
+    metrics)."""
 
     def __init__(self, cfg, *, model=None, project_name: Optional[str] = None, op: str = "w"):
         self.cfg = cfg
@@ -91,6 +137,17 @@ class MyLogging:
             except Exception:  # zero-egress pod: local wandb-layout jsonl sink
                 self.wandb = LocalWandb(project, wandb_cfg.get("run_name"), config)
                 print(f"[logging] wandb library unavailable; writing local run to {self.wandb.dir}")
+        self.tb = None
+        if hasattr(cfg, "logging") and bool(cfg.logging.get("tensorboard", False)):
+            import datetime
+            import os
+
+            base = str(cfg.logging.get("tensorboard_dir", "tb_logs"))
+            run = (wandb_cfg.get("run_name") if isinstance(wandb_cfg, dict) or hasattr(wandb_cfg, "get") else None) or (
+                "run_" + datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+            )
+            self.tb = TensorBoardSink(os.path.join(base, str(run)))
+            print(f"[logging] tensorboard scalars -> {self.tb.dir}")
         self.py_logger = None
         if self.use_py_log:
             self.py_logger = logging.getLogger("diverse_channel_vit_tpu")
@@ -106,6 +163,8 @@ class MyLogging:
         if isinstance(msg, dict):
             if self.use_wandb and self.wandb is not None:
                 self.wandb.log(msg)
+            if self.tb is not None:
+                self.tb.log(msg)
             line = pref_msg + " " + sep.join(f"{k}: {v}" for k, v in msg.items())
             self._emit(line.strip())
         else:
@@ -128,3 +187,5 @@ class MyLogging:
             self._emit(msg_str)
         if self.use_wandb and self.wandb is not None:
             self.wandb.finish()
+        if self.tb is not None:
+            self.tb.finish()

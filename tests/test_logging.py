@@ -29,6 +29,37 @@ def test_local_wandb_sink_writes_run_layout(tmp_path, monkeypatch, capsys):
     assert summary == {"loss": 1.25, "acc": 0.25}  # last-seen values
 
 
+def test_tensorboard_sink_writes_scalar_events(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = load_config("synthetic_cfg", ["logging=tensorboard",
+                                        "++logging.wandb.run_name=tb1"])
+    logger = MyLogging(cfg)
+    assert logger.tb is not None and logger.wandb is None
+    logger.info({"loss": 1.5, "acc": 0.25, "note": "skip-me"})        # counter step 0
+    logger.info({"loss": 1.0, "step": 7})                             # explicit step key
+    logger.info("plain message")
+    logger.finish()
+
+    from tensorboard.backend.event_processing.event_file_loader import EventFileLoader
+
+    run_dir = logger.tb.dir
+    files = [os.path.join(run_dir, f) for f in os.listdir(run_dir) if "tfevents" in f]
+    assert files, f"no event file in {run_dir}"
+    points = []  # (tag, step, value)
+    for f in files:
+        for ev in EventFileLoader(f).Load():
+            for v in getattr(ev.summary, "value", []):
+                if v.HasField("tensor"):
+                    import tensorflow as tf
+
+                    points.append((v.tag, ev.step, float(tf.make_ndarray(v.tensor))))
+    got = {(t, s): val for t, s, val in points}
+    assert got[("loss", 0)] == 1.5 and got[("acc", 0)] == 0.25
+    assert got[("loss", 7)] == 1.0          # step key routed to the step axis
+    assert not any(t == "note" for t, _ in got)  # strings skipped
+    assert not any(t == "step" for t, _ in got)  # step axis key not re-logged
+
+
 def test_stdout_logger_formats_dicts(capsys):
     cfg = load_config("synthetic_cfg", [])
     logger = MyLogging(cfg)
