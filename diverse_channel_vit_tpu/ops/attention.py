@@ -53,6 +53,45 @@ MAX_SINGLE_PASS_N = 8192
 # Interpret mode runs the Pallas kernels on the CPU emulator (for tests).
 INTERPRET = False
 
+# --- tensor-parallel head sharding -------------------------------------
+# GSPMD cannot auto-partition Mosaic kernels, so under a mesh with a >1
+# "model" axis the lane-packed kernel runs under an inner shard_map over
+# that axis: heads are embarrassingly parallel, each TP shard computes its
+# local H/tp block of 64-lane head slices. q/k/v arrive model-sharded from
+# the column-parallel projections (parallel/shardings.py) and the output
+# stays model-sharded into the row-parallel proj, so the wrapper introduces
+# ZERO collectives — the one all-reduce per block stays where Megatron puts
+# it (after proj). Set by the Trainer when the mesh has model > 1.
+_TP_STATE = {"mesh": None, "axis": "model"}
+
+
+def set_tp_attention(mesh=None, axis: str = "model") -> None:
+    """Enable (mesh with a >1 ``axis``) or disable (``None``) tensor-parallel
+    head sharding for :func:`flash_attention_packed`."""
+    _TP_STATE["mesh"] = mesh
+    _TP_STATE["axis"] = axis
+
+
+def tp_degree(num_heads: int) -> int:
+    """Active TP split of the packed flash kernel (1 = run unsharded)."""
+    mesh = _TP_STATE["mesh"]
+    if mesh is None:
+        return 1
+    tp = dict(mesh.shape).get(_TP_STATE["axis"], 1)
+    return tp if tp > 1 and num_heads % tp == 0 else 1
+
+
+def _tp_mesh():
+    """The mesh for the inner shard_map. Inside an already-manual context
+    (the data-sharded train step body) the context's AbstractMesh must be
+    passed instead of the concrete mesh, else shard_map rejects the
+    axis-type mismatch (data is Manual there, Auto on the stored mesh)."""
+    axis = _TP_STATE["axis"]
+    ctx = jax.sharding.get_abstract_mesh()
+    if ctx is not None and not ctx.empty and axis in ctx.shape:
+        return ctx
+    return _TP_STATE["mesh"]
+
 # VMEM budgets for the fp32 score block(s): hp * block_q * n_pad * 4B.
 # fwd holds one live score matrix; bwd holds two (p and ds) plus f32 dk/dv
 # scratch, hence the smaller budget (hp=2, bq=416 at N=1664 fails to fit).
@@ -380,11 +419,54 @@ def flash_attention_packed(
 ) -> jax.Array:
     """Flash attention over lane-packed (B, N, H*dh) q/k/v; returns the same
     layout — zero layout copies on either side. Pads N to a block multiple
-    (already a no-op when the model pads via :func:`preferred_pad`)."""
+    (already a no-op when the model pads via :func:`preferred_pad`).
+
+    Under an active TP mesh (:func:`set_tp_attention`, heads divisible) the
+    kernel runs per model-axis shard via an inner ``shard_map`` — heads are
+    embarrassingly parallel, so each shard computes its local H/tp heads on
+    its local lane slice with no collectives."""
     b, n, d = q.shape
     dh = d // num_heads
     if sm_scale is None:
         sm_scale = dh**-0.5
+    tp = tp_degree(num_heads)
+    if tp > 1:
+        wrapped = _tp_flash_wrapper(
+            _tp_mesh(), _TP_STATE["axis"], num_heads // tp, float(sm_scale),
+            None if valid_len is None else int(valid_len),
+        )
+        return wrapped(q, k, v)
+    return _flash_packed_shard(
+        q, k, v, num_heads=num_heads, sm_scale=float(sm_scale), valid_len=valid_len
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _tp_flash_wrapper(mesh, axis, heads_local, sm_scale, valid_len):
+    """jitted shard_map over the model axis: each TP shard runs the packed
+    kernel on its local ``heads_local`` heads. jit-wrapped because a
+    partial-manual shard_map (axis_names ⊂ mesh axes) only lowers under a
+    trace — eager callers would hit a confusing out_specs error; under an
+    outer jit/shard_map trace the wrapper inlines."""
+    from jax.sharding import PartitionSpec as P
+
+    fn = functools.partial(
+        _flash_packed_shard, num_heads=heads_local, sm_scale=sm_scale,
+        valid_len=valid_len,
+    )
+    return jax.jit(jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(None, None, axis),) * 3,
+        out_specs=P(None, None, axis),
+        axis_names=frozenset({axis}),
+        check_vma=False,
+    ))
+
+
+def _flash_packed_shard(q, k, v, *, num_heads, sm_scale, valid_len):
+    """One (possibly TP-local) lane-packed flash call: pad + kernel."""
+    b, n, d = q.shape
     n_valid = n if valid_len is None else int(valid_len)
     # measured sweep at N=1664 (vmem_limit raised): fwd bq 416 (47.4 ms/12)
     # beats 208 (49.2); bwd picks its own (208 beats 416 there)
@@ -393,7 +475,7 @@ def flash_attention_packed(
     if n_pad != n:
         pad = ((0, 0), (0, n_pad - n), (0, 0))
         q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
-    o = _flash_packed(q, k, v, num_heads, float(sm_scale), n_valid, block_q)
+    o = _flash_packed(q, k, v, num_heads, sm_scale, n_valid, block_q)
     return o[:, :n]
 
 
@@ -409,6 +491,12 @@ def multi_head_attention_packed(
     """(B, N, H*dh) dispatch — Pallas lane-packed kernel or XLA fallback."""
     if impl == "auto":
         impl = "pallas" if jax.default_backend() not in ("cpu",) and pltpu is not None else "xla"
+    if impl == "pallas" and _TP_STATE["mesh"] is not None and tp_degree(num_heads) == 1:
+        # TP mesh active but heads don't divide: an unsharded Mosaic call
+        # would sit under GSPMD model-axis propagation, which Mosaic refuses
+        # — the XLA einsum path partitions fine instead
+        if dict(_TP_STATE["mesh"].shape).get(_TP_STATE["axis"], 1) > 1:
+            impl = "xla"
     if impl == "pallas" and q.shape[1] <= MAX_SINGLE_PASS_N:
         return flash_attention_packed(q, k, v, num_heads, sm_scale, valid_len)
     b, n, d = q.shape
@@ -453,6 +541,9 @@ def multi_head_attention(
     """(B, H, N, Dh) dispatch between Pallas flash and the XLA fallback."""
     if impl == "auto":
         impl = "pallas" if jax.default_backend() not in ("cpu",) and pltpu is not None else "xla"
+    if impl == "pallas" and _TP_STATE["mesh"] is not None and tp_degree(q.shape[1]) == 1:
+        if dict(_TP_STATE["mesh"].shape).get(_TP_STATE["axis"], 1) > 1:
+            impl = "xla"  # see multi_head_attention_packed
     if impl == "pallas" and q.shape[2] <= MAX_SINGLE_PASS_N:
         return flash_attention(q, k, v, sm_scale, valid_len=valid_len)
     if sm_scale is None:

@@ -117,18 +117,27 @@ class Trainer:
         from .ops.fused_block import set_quantization
 
         set_quantization(str(cfg.model.get("quantization", "none")))
+        from .ops.attention import set_tp_attention
+
         if dict(self.mesh.shape).get("model", 1) > 1:
             # tensor parallelism shards the dense GEMMs via GSPMD inside the
-            # shard_map body, and GSPMD cannot partition Mosaic kernels —
-            # Pallas paths must yield to the XLA attention under TP
-            # (training/steps.py:_manual_axes)
+            # shard_map body, and GSPMD cannot partition Mosaic kernels.
+            # The flash kernel stays on: it runs under an inner shard_map
+            # over the model axis (heads are embarrassingly parallel —
+            # ops/attention.py:set_tp_attention), falling back to XLA
+            # attention per-call when heads don't divide tp. The fused
+            # block (attend_project/ln_mlp) holds projection/MLP weights
+            # in-kernel where the Megatron row-parallel all-reduce cannot
+            # be placed, so it yields to the unfused path under TP.
             set_fused_block(False)
-            if cfg.model.get("attention_impl", "auto") in ("auto", "pallas"):
-                cfg.model.attention_impl = "xla"
+            set_tp_attention(self.mesh)
             self.logger.info(
-                "model-axis TP active: Pallas fused paths disabled "
-                "(Mosaic kernels cannot be GSPMD-partitioned); using XLA attention"
+                "model-axis TP active: fused block disabled; flash attention "
+                "runs per TP shard via an inner shard_map (XLA fallback when "
+                "num_heads %% tp != 0)"
             )
+        else:
+            set_tp_attention(None)
 
         # -- chunk -> channel-id mapper (trainer.py:128-150) ---------------
         self.all_chunks = []
