@@ -81,6 +81,19 @@ def tp_degree(num_heads: int) -> int:
     return tp if tp > 1 and num_heads % tp == 0 else 1
 
 
+def _wrap_axes() -> tuple:
+    """Every non-``data`` mesh axis of size >1: the kernel must be manual
+    over ALL of them (Mosaic refuses GSPMD propagation even for axes the
+    activations are replicated over, e.g. an ``expert`` axis sharding only
+    the per-channel parameter tables). ``model`` shards heads when
+    divisible; the rest replicate."""
+    mesh = _TP_STATE["mesh"]
+    if mesh is None:
+        return ()
+    return tuple(ax for ax, sz in dict(mesh.shape).items()
+                 if ax != "data" and sz > 1)
+
+
 def _tp_mesh():
     """The mesh for the inner shard_map. Inside an already-manual context
     (the data-sharded train step body) the context's AbstractMesh must be
@@ -429,10 +442,12 @@ def flash_attention_packed(
     dh = d // num_heads
     if sm_scale is None:
         sm_scale = dh**-0.5
-    tp = tp_degree(num_heads)
-    if tp > 1:
+    wrap = _wrap_axes()
+    if wrap:
+        tp = tp_degree(num_heads)
+        head_axis = _TP_STATE["axis"] if (tp > 1 and _TP_STATE["axis"] in wrap) else None
         wrapped = _tp_flash_wrapper(
-            _tp_mesh(), _TP_STATE["axis"], num_heads // tp, float(sm_scale),
+            _tp_mesh(), wrap, head_axis, num_heads // tp, float(sm_scale),
             None if valid_len is None else int(valid_len),
         )
         return wrapped(q, k, v)
@@ -442,12 +457,14 @@ def flash_attention_packed(
 
 
 @functools.lru_cache(maxsize=64)
-def _tp_flash_wrapper(mesh, axis, heads_local, sm_scale, valid_len):
-    """jitted shard_map over the model axis: each TP shard runs the packed
-    kernel on its local ``heads_local`` heads. jit-wrapped because a
-    partial-manual shard_map (axis_names ⊂ mesh axes) only lowers under a
-    trace — eager callers would hit a confusing out_specs error; under an
-    outer jit/shard_map trace the wrapper inlines."""
+def _tp_flash_wrapper(mesh, wrap_axes, head_axis, heads_local, sm_scale, valid_len):
+    """jitted shard_map manual over every non-data mesh axis: the ``model``
+    axis (``head_axis``) shards the lane-packed heads, any other axis (e.g.
+    ``expert``) sees replicated activations and just keeps the Mosaic call
+    out of GSPMD propagation. jit-wrapped because a partial-manual
+    shard_map (axis_names ⊂ mesh axes) only lowers under a trace — eager
+    callers would hit a confusing out_specs error; under an outer
+    jit/shard_map trace the wrapper inlines."""
     from jax.sharding import PartitionSpec as P
 
     fn = functools.partial(
@@ -457,9 +474,9 @@ def _tp_flash_wrapper(mesh, axis, heads_local, sm_scale, valid_len):
     return jax.jit(jax.shard_map(
         fn,
         mesh=mesh,
-        in_specs=(P(None, None, axis),) * 3,
-        out_specs=P(None, None, axis),
-        axis_names=frozenset({axis}),
+        in_specs=(P(None, None, head_axis),) * 3,
+        out_specs=P(None, None, head_axis),
+        axis_names=frozenset(wrap_axes),
         check_vma=False,
     ))
 

@@ -24,26 +24,47 @@ _COL_PATTERNS = (r"/qkv/kernel$", r"/w[qkv]/kernel$", r"/fc1/kernel$", r"/wq1/ke
 _ROW_PATTERNS = (r"/proj/kernel$", r"/fc2/kernel$", r"/wq2/kernel$", r"/to_out/kernel$")
 # biases of column-parallel layers shard with the outputs
 _COL_BIAS_PATTERNS = (r"/qkv/bias$", r"/w[qkv]/bias$", r"/fc1/bias$")
+# expert-parallel: the per-GLOBAL-channel parameter tables are this model
+# family's "experts" (channel embeddings, proxies, depthwise kernel banks,
+# hypernet z embeddings, template coefficients — all indexed by global
+# channel id, CLAUDE invariant: lookups are gathers, never weight surgery).
+# Their leading C_total dim shards over an "expert" axis so a large channel
+# vocabulary (e.g. hyperspectral) scales memory across chips; the per-step
+# gather of the k sampled rows is the only collective this adds.
+_EXPERT_PATTERNS = (
+    r"/channel_embed$",
+    r"/channel_emb_proxies$",
+    r"/depthwise_bank$",
+    r"/channel_weights$",
+    r"/conv1_emb$",
+    r"/conv1_coefs$",
+)
 
 
 def _path_str(path) -> str:
     return "/" + "/".join(str(getattr(p, "key", p)) for p in path)
 
 
-def param_shardings(params: Any, mesh: Mesh, *, axis: str = "model") -> Any:
-    """NamedSharding tree for the params: TP split where profitable."""
+def param_shardings(params: Any, mesh: Mesh, *, axis: str = "model",
+                    expert_axis: str = "expert") -> Any:
+    """NamedSharding tree for the params: TP/EP split where profitable."""
     tp = mesh.shape.get(axis, 1)
+    ep = mesh.shape.get(expert_axis, 1)
 
     def spec_for(path, leaf) -> NamedSharding:
-        if tp <= 1 or leaf.ndim == 0:
+        if (tp <= 1 and ep <= 1) or leaf.ndim == 0:
             return NamedSharding(mesh, P())
         p = _path_str(path)
-        if leaf.ndim >= 2:
+        if ep > 1 and any(re.search(pat, p) for pat in _EXPERT_PATTERNS):
+            if leaf.shape[0] % ep == 0:
+                return NamedSharding(
+                    mesh, P(*([expert_axis] + [None] * (leaf.ndim - 1))))
+        if tp > 1 and leaf.ndim >= 2:
             if any(re.search(pat, p) for pat in _COL_PATTERNS) and leaf.shape[-1] % tp == 0:
                 return NamedSharding(mesh, P(*([None] * (leaf.ndim - 1) + [axis])))
             if any(re.search(pat, p) for pat in _ROW_PATTERNS) and leaf.shape[0] % tp == 0:
                 return NamedSharding(mesh, P(*([axis] + [None] * (leaf.ndim - 1))))
-        if leaf.ndim == 1 and any(re.search(pat, p) for pat in _COL_BIAS_PATTERNS):
+        if tp > 1 and leaf.ndim == 1 and any(re.search(pat, p) for pat in _COL_BIAS_PATTERNS):
             if leaf.shape[0] % tp == 0:
                 return NamedSharding(mesh, P(axis))
         return NamedSharding(mesh, P())
@@ -51,6 +72,7 @@ def param_shardings(params: Any, mesh: Mesh, *, axis: str = "model") -> Any:
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def apply_param_shardings(params: Any, mesh: Mesh, *, axis: str = "model") -> Any:
-    shardings = param_shardings(params, mesh, axis=axis)
+def apply_param_shardings(params: Any, mesh: Mesh, *, axis: str = "model",
+                          expert_axis: str = "expert") -> Any:
+    shardings = param_shardings(params, mesh, axis=axis, expert_axis=expert_axis)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)

@@ -119,7 +119,7 @@ class Trainer:
         set_quantization(str(cfg.model.get("quantization", "none")))
         from .ops.attention import set_tp_attention
 
-        if dict(self.mesh.shape).get("model", 1) > 1:
+        if any(sz > 1 for ax, sz in dict(self.mesh.shape).items() if ax != "data"):
             # tensor parallelism shards the dense GEMMs via GSPMD inside the
             # shard_map body, and GSPMD cannot partition Mosaic kernels.
             # The flash kernel stays on: it runs under an inner shard_map
@@ -132,9 +132,9 @@ class Trainer:
             set_fused_block(False)
             set_tp_attention(self.mesh)
             self.logger.info(
-                "model-axis TP active: fused block disabled; flash attention "
-                "runs per TP shard via an inner shard_map (XLA fallback when "
-                "num_heads %% tp != 0)"
+                "non-data mesh axes active (model TP / expert EP): fused "
+                "block disabled; flash attention runs per shard via an inner "
+                "shard_map (XLA fallback when num_heads %% tp != 0)"
             )
         else:
             set_tp_attention(None)
