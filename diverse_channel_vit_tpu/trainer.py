@@ -350,7 +350,7 @@ class Trainer:
             self.tx = masked_optimizer(self.tx, labels, unfreeze_last_n_layers=max(0, last_n))
             self.state = self.state.replace(tx=self.tx, opt_state=self.tx.init(self.state.params))
         if self.n_devices > 1:
-            if self.mesh.shape.get("model", 1) > 1:
+            if any(self.mesh.shape.get(ax, 1) > 1 for ax in ("model", "expert")):
                 from .parallel import apply_param_shardings
 
                 sharded = apply_param_shardings(self.state.params, self.mesh)
@@ -430,7 +430,7 @@ class Trainer:
         else the jitted step sees incompatible committed devices."""
         if self.n_devices <= 1:
             return
-        if self.mesh.shape.get("model", 1) > 1:
+        if any(self.mesh.shape.get(ax, 1) > 1 for ax in ("model", "expert")):
             from .parallel import apply_param_shardings
 
             params = apply_param_shardings(self.state.params, self.mesh)

@@ -115,6 +115,41 @@ def test_ep_train_step_matches_unsharded():
                                rtol=1e-4)
 
 
+def test_trainer_wires_expert_axis(tmp_path):
+    """`++hardware.mesh.expert=N` through the config surface: the Trainer
+    shards the channel tables, activates the attention mesh guard, and a
+    real epoch trains + evals."""
+    from diverse_channel_vit_tpu.config import load_config
+    from diverse_channel_vit_tpu.ops.fused_block import set_fused_block
+    from diverse_channel_vit_tpu.trainer import Trainer
+
+    cfg = load_config(
+        "synthetic_cfg",
+        [
+            "train.num_epochs=1",
+            "train.batch_size=16",
+            "dataset.num_train_samples=32",
+            "dataset.num_eval_samples=16",
+            f"train.checkpoints={tmp_path}/ckpt",
+            "hardware.num_workers=0",
+            "model.attention_impl=xla",
+            "hardware.mesh.data=4",
+            "++hardware.mesh.expert=2",
+        ],
+    )
+    try:
+        t = Trainer(cfg)
+        assert dict(t.mesh.shape) == {"data": 4, "model": 1, "expert": 2}
+        emb = t.state.params["backbone"]["channel_embed"]
+        assert "expert" in emb.sharding.spec
+        assert A._TP_STATE["mesh"] is not None
+        best = t.train()
+        assert np.isfinite(best)
+    finally:
+        A.set_tp_attention(None)
+        set_fused_block(True)
+
+
 def test_ep_flash_kernel_wrapped_manual():
     """With only an expert axis >1 (no model axis), the flash kernel still
     needs to stay out of GSPMD propagation: the wrapper goes manual over
