@@ -53,6 +53,7 @@ def ref_zoo():
         importlib.import_module("models.depthwise_vit"),
         importlib.import_module("models.hyper_vit"),
         importlib.import_module("models.template_mixing_vit"),
+        importlib.import_module("models.vit_adapt"),
     )
 
 
@@ -120,7 +121,7 @@ def _input():
 def test_depthwise_vit_forward_matches_reference(ref_zoo, exact_gelu):
     """Gathered-bank einsum stem ≡ the reference's grouped conv + pooling
     (``depthwise_vit.py:113-176``)."""
-    ref_dv, _, _ = ref_zoo
+    ref_dv, _, _, _ = ref_zoo
     import jax.numpy as jnp
 
     from diverse_channel_vit_tpu.models.depthwise_vit import DepthwiseViT
@@ -159,7 +160,7 @@ def test_hypernet_vit_forward_matches_reference(ref_zoo, exact_gelu):
     """Hypernet-generated stem kernels ≡ reference (``hyper_vit.py:235-238``):
     same z-emb + W/b/W_out/b_out tensors produce the same conv, applied as
     an im2col einsum + dense 1x1 here."""
-    _, ref_hv, _ = ref_zoo
+    _, ref_hv, _, _ = ref_zoo
     import jax.numpy as jnp
 
     from diverse_channel_vit_tpu.models.hyper_vit import HyperNetViT
@@ -197,7 +198,7 @@ def test_hypernet_vit_forward_matches_reference(ref_zoo, exact_gelu):
 
 def test_template_mixing_vit_forward_matches_reference(ref_zoo, exact_gelu):
     """Template-mixed 3x3 stem ≡ reference (``template_mixing_vit.py:335-372``)."""
-    _, _, ref_tm = ref_zoo
+    _, _, ref_tm, _ = ref_zoo
     import jax.numpy as jnp
 
     from diverse_channel_vit_tpu.models.template_mixing_vit import TemplateMixingViT
@@ -232,6 +233,44 @@ def test_template_mixing_vit_forward_matches_reference(ref_zoo, exact_gelu):
     x = _input()
     with torch.no_grad():
         want = ref(torch.from_numpy(x), "Allen").numpy()
+    got, _ = ours.apply({"params": params}, jnp.asarray(x), jnp.arange(C),
+                        train=False)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-3)
+
+
+def test_vit_adapt_forward_matches_reference(ref_zoo, exact_gelu):
+    """Plain-ViT Conv2d stem ≡ the sliceable per-channel weight bank
+    (``vit_adapt.py:47-69``): summing per-channel projections is exactly
+    the multi-channel conv."""
+    _, _, _, ref_va = ref_zoo
+    import jax.numpy as jnp
+
+    from diverse_channel_vit_tpu.models.vit_adapt import SlicedPatchVisionTransformer
+
+    torch.manual_seed(3)
+    ref = ref_va.VisionTransformerModel(
+        config=SimpleNamespace(enable_sample=False), mapper=MAPPER,
+        img_size=[IMG], patch_size=P, in_chans=C, embed_dim=D, depth=DEPTH,
+        num_heads=HEADS, qkv_bias=True,
+        norm_layer=partial(torch.nn.LayerNorm, eps=1e-6),
+    ).eval()
+    sd = _state_dict(ref)
+
+    ours = SlicedPatchVisionTransformer(
+        num_total_channels=C, img_size=IMG, patch_size=P, embed_dim=D,
+        depth=DEPTH, num_heads=HEADS, attention_impl="xla")
+    tr = _trunk_params(sd, DEPTH)
+    params = _to_jax({
+        **tr,
+        # Conv2d (D, C, p, p) -> bank (C, p*p, D)
+        "proj_bank": sd["patch_embed.proj.weight"]
+        .reshape(D, C, P * P).transpose(1, 2, 0),
+        "proj_bias": sd["patch_embed.proj.bias"],
+    })
+
+    x = _input()
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), "train").numpy()
     got, _ = ours.apply({"params": params}, jnp.asarray(x), jnp.arange(C),
                         train=False)
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-3)
