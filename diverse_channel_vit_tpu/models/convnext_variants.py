@@ -352,15 +352,18 @@ class DepthwiseConvNeXt(_ConvNeXtCore):
             # adaptive 4x4 avg+max summaries -> FanAttentionV2 (dw_convnext.py:391-427)
             x_avg = _adaptive_pool_4x4(y, jnp.mean).reshape(b, c, k, 16)
             x_max = _adaptive_pool_4x4(y, jnp.max).reshape(b, c, k, 16)
-            feats = jnp.concatenate([x_avg, x_max], axis=3).reshape(b, c, k * 32)
+            # cat over the k axis, reference layout [avg_k0..k-1 | max_k0..]
+            # (depthwise_convnext.py:420-424) — checkpoint-transplant exact
+            feats = jnp.concatenate([x_avg, x_max], axis=2).reshape(b, c, k * 32)
             attn = FanAttentionV2(emb_dim=k * 32, name="attn_pooling")(feats.astype(jnp.float32))
             y = jnp.sum(y * attn[:, :, None, None, None].astype(y.dtype), axis=1)
         else:
             raise ValueError(f"Invalid pooling_channel_type: {pool}")
 
         # stem: conv1x1 -> InstanceNorm (depthwise_convnext.py:172-175), NHWC
+        # the reference's conv1x1 is bias-free (model_utils.py:11-13)
         y = y.transpose(0, 2, 3, 1)
-        y = nn.Dense(STEM_DIM, dtype=self.dtype, name="stem_conv1x1")(y)
+        y = nn.Dense(STEM_DIM, use_bias=False, dtype=self.dtype, name="stem_conv1x1")(y)
         y = InstanceNorm2d(STEM_DIM, name="stem_norm_inst")(y.astype(jnp.float32))
         return self.trunk(y.astype(self.dtype), train=train), jnp.float32(0.0)
 

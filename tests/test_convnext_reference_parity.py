@@ -1,0 +1,376 @@
+"""Golden forward parity for the ConvNeXt variant family vs the torch reference.
+
+The reference variants (``shared_convnext.py``, ``slice_param_convnext.py``,
+``template_mixing_convnext.py``, ``hypernet_convnext.py``) wrap a *timm*
+convnext_tiny and replace only the stem. timm is absent in this env, so a
+faithful torch reimplementation of timm's ConvNeXt (stem / stages /
+downsample / blocks — the exact module paths the reference indexes) stands
+in via a patched ``create_model``; weights transplant into our flax
+variants through ``load_torch_convnext_state`` + per-variant stem mapping,
+and the full forwards must agree.
+"""
+
+import os
+import sys
+import types
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+from torch import nn
+import torch.nn.functional as F
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree absent")
+
+# CHAMMI channel maps (slice_param_convnext.py:34-44)
+MAPPER = {"Allen": [5, 2, 6], "HPA": [3, 6, 5, 0], "CP": [5, 0, 7, 1, 4]}
+CLASS_EMB_IDX = {"Allen": [0, 1, 2], "HPA": [3, 4, 5, 6], "CP": [7, 8, 9, 10, 11]}
+CH_NAMES = ["er", "golgi", "membrane", "microtubules", "mito", "nucleus", "protein", "rna"]
+
+
+# --- timm convnext_tiny stand-in (exact module paths the reference uses) --
+
+
+class _LayerNorm2d(nn.LayerNorm):
+    """timm LayerNorm2d: LN over C of NCHW."""
+
+    def forward(self, x):
+        x = x.permute(0, 2, 3, 1)
+        x = F.layer_norm(x, self.normalized_shape, self.weight, self.bias, self.eps)
+        return x.permute(0, 3, 1, 2)
+
+
+class _Mlp(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.fc1 = nn.Linear(dim, 4 * dim)
+        self.fc2 = nn.Linear(4 * dim, dim)
+
+    def forward(self, x):
+        return self.fc2(F.gelu(self.fc1(x)))
+
+
+class _Block(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.conv_dw = nn.Conv2d(dim, dim, 7, padding=3, groups=dim)
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = _Mlp(dim)
+        # random gammas so the residual branches actually matter
+        self.gamma = nn.Parameter(torch.randn(dim) * 0.1)
+
+    def forward(self, x):
+        y = self.conv_dw(x).permute(0, 2, 3, 1)
+        y = self.mlp(self.norm(y)) * self.gamma
+        return x + y.permute(0, 3, 1, 2)
+
+
+class _Stage(nn.Module):
+    def __init__(self, in_dim, dim, depth, downsample):
+        super().__init__()
+        self.downsample = (
+            nn.Sequential(_LayerNorm2d(in_dim, eps=1e-6), nn.Conv2d(in_dim, dim, 2, 2))
+            if downsample else nn.Identity()
+        )
+        self.blocks = nn.Sequential(*[_Block(dim) for _ in range(depth)])
+
+    def forward(self, x):
+        return self.blocks(self.downsample(x))
+
+
+class _TimmConvNeXtTiny(nn.Module):
+    def __init__(self):
+        super().__init__()
+        depths, dims = (3, 3, 9, 3), (96, 192, 384, 768)
+        self.stem = nn.Sequential(
+            nn.Conv2d(3, dims[0], 4, stride=4), _LayerNorm2d(dims[0], eps=1e-6)
+        )
+        self.stages = nn.Sequential(*[
+            _Stage(dims[max(i - 1, 0)], dims[i], depths[i], downsample=i > 0)
+            for i in range(4)
+        ])
+
+
+@pytest.fixture(scope="module")
+def ref_cnx():
+    """Import the reference ConvNeXt variant modules (timm/omegaconf stubbed)."""
+    import importlib
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    for stub_name, attrs in (
+        ("timm", {"create_model": lambda *a, **k: None}),
+        ("timm.models", {"ConvNeXt": type("ConvNeXt", (), {})}),
+        ("torchvision", {"datasets": types.SimpleNamespace(),
+                         "utils": types.SimpleNamespace()}),
+        ("torchvision.transforms", {"transforms": types.SimpleNamespace()}),
+        ("omegaconf", {"MISSING": "???", "OmegaConf": type("OmegaConf", (), {})}),
+    ):
+        if stub_name not in sys.modules:
+            mod = types.ModuleType(stub_name)
+            for k, v in attrs.items():
+                setattr(mod, k, v)
+            sys.modules[stub_name] = mod
+    for pkg in ("models", "datasets"):
+        if pkg not in sys.modules:
+            mod = types.ModuleType(pkg)
+            mod.__path__ = [os.path.join(REF, pkg)]
+            sys.modules[pkg] = mod
+    mods = {
+        "shared": importlib.import_module("models.shared_convnext"),
+        "slice": importlib.import_module("models.slice_param_convnext"),
+        "template": importlib.import_module("models.template_mixing_convnext"),
+        "hyper": importlib.import_module("models.hypernet_convnext"),
+        "depthwise": importlib.import_module("models.depthwise_convnext"),
+    }
+    # every variant module did `from timm import create_model` — patch the
+    # module-level binding to hand out the faithful stand-in
+    for m in mods.values():
+        m.create_model = lambda *a, **k: _TimmConvNeXtTiny()
+    return mods
+
+
+@pytest.fixture()
+def exact_gelu(monkeypatch):
+    from diverse_channel_vit_tpu.ops import activations
+
+    monkeypatch.setattr(activations, "GELU_EXACT_DEFAULT", True)
+
+
+def _cfg(**over):
+    base = dict(
+        pretrained_model_name="convnext_tiny.fb_in22k", pretrained=False,
+        pooling="avg", num_classes=4, temperature=0.1, learnable_temp=False,
+        in_channel_names=list(CH_NAMES), enable_sample=False,
+        in_dim=None, duplicate=False, slice_class_emb=False, is_conv_small=False,
+        separate_coef=False, separate_emb=False,
+        num_templates_per_channel=2, z_dim=12, hidden_dim=12,
+    )
+    base.update(over)
+    return SimpleNamespace(**base)
+
+
+def _trunk_from_torch(variant_params, torch_model):
+    """Fill our 'trunk' subtree from the stand-in's timm-layout state_dict."""
+    from diverse_channel_vit_tpu.models.convnext import load_torch_convnext_state
+
+    sd = {k: v for k, v in torch_model.state_dict().items()}
+    variant_params["trunk"] = load_torch_convnext_state(variant_params["trunk"], sd)
+    return variant_params
+
+
+def _init_ours(model, x, cids):
+    import jax
+    import jax.numpy as jnp
+
+    return model.init(jax.random.key(0), jnp.asarray(x), jnp.asarray(cids),
+                      train=False)["params"]
+
+
+def _forward_ours(model, params, x, cids):
+    import jax.numpy as jnp
+
+    out, _ = model.apply({"params": params}, jnp.asarray(x), jnp.asarray(cids),
+                         train=False)
+    return np.asarray(out)
+
+
+def _input(c, seed=11):
+    return np.random.default_rng(seed).normal(size=(2, c, 64, 64)).astype(np.float32) * 0.5
+
+
+MAPPER_T = tuple((k, tuple(v)) for k, v in MAPPER.items())
+
+
+def test_shared_convnext_matches_reference(ref_cnx, exact_gelu):
+    """Per-chunk stem convs + shared timm trunk (shared_convnext.py:134-154)."""
+    from helper_classes.first_layer_init import FirstLayerInit
+
+    from diverse_channel_vit_tpu.models.convnext_variants import SharedConvNeXt
+
+    torch.manual_seed(10)
+    ref = ref_cnx["shared"].SharedConvNeXt(
+        _cfg(first_layer=FirstLayerInit.REINIT_AS_RANDOM)).eval()
+
+    ours = SharedConvNeXt(mapper=MAPPER_T, chunk="HPA", pooling="avg")
+    x = _input(4)
+    params = _init_ours(ours, x, MAPPER["HPA"])
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    for chunk in MAPPER:
+        w = sd[f"first_layer.{chunk}.weight"]  # (96, Cc, 4, 4)
+        params[f"stem_conv_{chunk}"] = np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+        params[f"stem_bias_{chunk}"] = sd[f"first_layer.{chunk}.bias"]
+    # the trunk rode into ref.feature_extractor; transplant from a fresh
+    # stand-in built with the same seed is impossible, so read it back out
+    # of the reference's own modules via their timm-layout names
+    stub = _TimmConvNeXtTiny()
+    stub.stem[1] = ref.feature_extractor[0]
+    stub.stages[0] = ref.feature_extractor[1]
+    stub.stages[1] = ref.feature_extractor[2]
+    stub.stages[2].downsample = ref.feature_extractor[3]
+    stub.stages[2].blocks = nn.Sequential(*[ref.feature_extractor[4 + i] for i in range(9)])
+    stub.stages[3].downsample = ref.feature_extractor[13]
+    stub.stages[3].blocks = nn.Sequential(*[ref.feature_extractor[14 + i] for i in range(3)])
+    params = _trunk_from_torch(params, stub)
+
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), "HPA").numpy()
+    got = _forward_ours(ours, params, x, MAPPER["HPA"])
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=2e-3)
+
+
+def _rebuild_stub_from_feature_extractor(fe, has_stem_norm=True):
+    """Reassemble a timm-layout module from a reference feature_extractor so
+    its state_dict matches load_torch_convnext_state's key scheme.
+    TemplateMixingConvNeXt drops the stem LN (template_mixing_convnext.py:67)
+    — its feature_extractor starts at stages[0]."""
+    stub = _TimmConvNeXtTiny()
+    o = 1 if has_stem_norm else 0
+    if has_stem_norm:
+        stub.stem[1] = fe[0]
+    stub.stages[0] = fe[o]
+    stub.stages[1] = fe[o + 1]
+    stub.stages[2].downsample = fe[o + 2]
+    stub.stages[2].blocks = nn.Sequential(*[fe[o + 3 + i] for i in range(9)])
+    stub.stages[3].downsample = fe[o + 12]
+    stub.stages[3].blocks = nn.Sequential(*[fe[o + 13 + i] for i in range(3)])
+    return stub
+
+
+@pytest.mark.parametrize("slice_class_emb", [False, True])
+def test_slice_param_convnext_matches_reference(ref_cnx, exact_gelu, slice_class_emb):
+    """Sliced stem bank (+ optional class-channel emb) ≡ reference
+    (slice_param_convnext.py:110-123)."""
+    from helper_classes.first_layer_init import FirstLayerInit
+
+    from diverse_channel_vit_tpu.models.convnext_variants import SliceParamConvNeXt
+
+    torch.manual_seed(11)
+    ref = ref_cnx["slice"].SliceParamConvNeXt(
+        _cfg(first_layer=FirstLayerInit.REINIT_AS_RANDOM,
+             slice_class_emb=slice_class_emb)).eval()
+
+    ours = SliceParamConvNeXt(
+        mapper=MAPPER_T, chunk="CP", pooling="avg", num_total_channels=8,
+        slice_class_emb=slice_class_emb,
+        class_emb_idx=tuple((k, tuple(v)) for k, v in CLASS_EMB_IDX.items()),
+    )
+    x = _input(5)
+    params = _init_ours(ours, x, MAPPER["CP"])
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params["conv1_param_bank"] = sd["conv1_param_bank"]
+    if slice_class_emb:
+        params["class_emb"] = sd["class_emb"]
+    params = _trunk_from_torch(
+        params, _rebuild_stub_from_feature_extractor(ref.feature_extractor))
+
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), "CP").numpy()
+    got = _forward_ours(ours, params, x, MAPPER["CP"])
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=2e-3)
+
+
+def test_template_mixing_convnext_matches_reference(ref_cnx, exact_gelu):
+    """Template-mixed stem ≡ reference (template_mixing_convnext.py:90-103)."""
+    from diverse_channel_vit_tpu.models.convnext_variants import TemplateMixingConvNeXt
+
+    torch.manual_seed(12)
+    ref = ref_cnx["template"].TemplateMixingConvNeXt(
+        _cfg(), mapper=MAPPER).eval()
+
+    # the reference drops the stem LN for this variant (:67) — ours models
+    # that with include_stem_norm=False (the factory default for it)
+    ours = TemplateMixingConvNeXt(
+        mapper=MAPPER_T, chunk="HPA", pooling="avg", num_total_channels=8,
+        num_templates=16, include_stem_norm=False)
+    x = _input(4)
+    params = _init_ours(ours, x, MAPPER["HPA"])
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params["conv1_param_bank"] = sd["conv1_param_bank"]
+    params["conv1_coefs"] = sd["conv1_coefs"]
+    params = _trunk_from_torch(
+        params, _rebuild_stub_from_feature_extractor(ref.feature_extractor,
+                                                     has_stem_norm=False))
+
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), "HPA").numpy()
+    got = _forward_ours(ours, params, x, MAPPER["HPA"])
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=2e-3)
+
+
+@pytest.mark.parametrize("pool,k", [("avg", 8), ("weighted_sum_random", 8),
+                                    ("attention", 64)])
+def test_depthwise_convnext_matches_reference(ref_cnx, exact_gelu, pool, k):
+    """Per-chunk depthwise patch embed + 3x3 bank + channel pooling +
+    bias-free 1x1/InstanceNorm stem ≡ reference
+    (depthwise_convnext.py:326-433). attention mode needs k=64 — the
+    reference hardcodes FanAttentionV2(4*4*2*64) (:151)."""
+    from diverse_channel_vit_tpu.models.convnext_variants import DepthwiseConvNeXt
+
+    torch.manual_seed(14 + k)
+    ref = ref_cnx["depthwise"].DepthwiseConvNeXt(
+        _cfg(kernels_per_channel=k, pooling_channel_type=pool, patch_size=4,
+             sample_by_weights=False, sample_by_weights_warmup=0,
+             sample_by_weights_scale=1.0, reduce_size=True),
+        mapper=MAPPER).eval()
+
+    ours = DepthwiseConvNeXt(
+        mapper=MAPPER_T, chunk="HPA", pooling="avg", num_total_channels=8,
+        kernels_per_channel=k, patch_size=4, pooling_channel_type=pool,
+        include_stem_norm=False)
+    x = _input(4)
+    params = _init_ours(ours, x, MAPPER["HPA"])
+    sd = {kk: v.detach().numpy() for kk, v in ref.state_dict().items()}
+    for chunk in MAPPER:
+        params[f"patch_emb_{chunk}"] = sd[f"get_patch_emb.chunk_{chunk}.weight"]
+        params[f"patch_emb_bias_{chunk}"] = sd[f"get_patch_emb.chunk_{chunk}.bias"]
+    params["conv1depthwise_param_bank"] = sd["conv1depthwise_param_bank"]
+    if pool == "weighted_sum_random":
+        params["weighted_sum_pooling"] = sd["weighted_sum_pooling"]
+    if pool == "attention":
+        params["attn_pooling"] = {
+            "wq1": {"kernel": sd["attn_pooling.WQ.0.weight"].T,
+                    "bias": sd["attn_pooling.WQ.0.bias"]},
+            "wq2": {"kernel": sd["attn_pooling.WQ.2.weight"].T,
+                    "bias": sd["attn_pooling.WQ.2.bias"]},
+        }
+    params["stem_conv1x1"] = {"kernel": sd["stem.0.weight"][:, :, 0, 0].T}
+    params["stem_norm_inst"] = {"scale": sd["stem.1.weight"],
+                                "bias": sd["stem.1.bias"]}
+    params = _trunk_from_torch(
+        params, _rebuild_stub_from_feature_extractor(ref.feature_extractor,
+                                                     has_stem_norm=False))
+
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), "HPA").numpy()
+    got = _forward_ours(ours, params, x, MAPPER["HPA"])
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=2e-3)
+
+
+def test_hyper_convnext_matches_reference(ref_cnx, exact_gelu):
+    """Hypernet-generated stem ≡ reference (hypernet_convnext.py:100-185)."""
+    from diverse_channel_vit_tpu.models.convnext_variants import HyperConvNeXt
+
+    torch.manual_seed(13)
+    ref = ref_cnx["hyper"].HyperConvNeXt(_cfg(), mapper=MAPPER).eval()
+
+    ours = HyperConvNeXt(mapper=MAPPER_T, chunk="Allen", pooling="avg",
+                         num_total_channels=8, z_dim=12, hidden_dim=12)
+    x = _input(3)
+    params = _init_ours(ours, x, MAPPER["Allen"])
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params["conv1_emb"] = sd["conv1_emb.weight"]
+    params["hypernet"] = {
+        "W": sd["hypernet.W"], "b": sd["hypernet.b"],
+        "W_out": sd["hypernet.W_out"], "b_out": sd["hypernet.b_out"],
+    }
+    params = _trunk_from_torch(
+        params, _rebuild_stub_from_feature_extractor(ref.feature_extractor))
+
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), "Allen").numpy()
+    got = _forward_ours(ours, params, x, MAPPER["Allen"])
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=2e-3)
