@@ -120,6 +120,7 @@ def ref_cnx():
             mod.__path__ = [os.path.join(REF, pkg)]
             sys.modules[pkg] = mod
     mods = {
+        "base": importlib.import_module("models.convnext_base"),
         "shared": importlib.import_module("models.shared_convnext"),
         "slice": importlib.import_module("models.slice_param_convnext"),
         "template": importlib.import_module("models.template_mixing_convnext"),
@@ -238,6 +239,34 @@ def _rebuild_stub_from_feature_extractor(fe, has_stem_norm=True):
     stub.stages[3].downsample = fe[o + 12]
     stub.stages[3].blocks = nn.Sequential(*[fe[o + 13 + i] for i in range(3)])
     return stub
+
+
+def test_convnext_base_matches_reference(ref_cnx, exact_gelu):
+    """Plain stem conv over in_dim channels + full timm trunk
+    (convnext_base.py:36-106)."""
+    from helper_classes.first_layer_init import FirstLayerInit
+
+    from diverse_channel_vit_tpu.models.convnext_variants import ConvNeXtBase
+
+    torch.manual_seed(9)
+    ref = ref_cnx["base"].ConvNeXtBase(
+        _cfg(first_layer=FirstLayerInit.REINIT_AS_RANDOM, in_dim=4)).eval()
+
+    ours = ConvNeXtBase(mapper=(("train", (0, 1, 2, 3)),), in_dim=4, pooling="avg")
+    x = _input(4)
+    params = _init_ours(ours, x, [0, 1, 2, 3])
+    fe = ref.feature_extractor
+    sd_stem_w = fe[0][0].weight.detach().numpy()  # (96, 4, 4, 4)
+    params["stem_conv"] = np.ascontiguousarray(sd_stem_w.transpose(2, 3, 1, 0))
+    params["stem_bias"] = fe[0][0].bias.detach().numpy()
+    stub = _rebuild_stub_from_feature_extractor(
+        nn.Sequential(fe[0][1], *[fe[i] for i in range(1, len(fe))]))
+    params = _trunk_from_torch(params, stub)
+
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = _forward_ours(ours, params, x, [0, 1, 2, 3])
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=2e-3)
 
 
 @pytest.mark.parametrize("slice_class_emb", [False, True])
