@@ -332,6 +332,60 @@ def test_pos_embed_resample_matches_torch_bicubic():
     np.testing.assert_array_equal(same, pe)
 
 
+@pytest.mark.parametrize("strategy", ["avg_2", "avg_3", "replicate", "zero",
+                                      "avg_2_not_in_chunk"])
+def test_loo_synthesis_matches_reference(ref_modules, exact_gelu, strategy):
+    """Leave-one-out novel-channel synthesis at eval (the trainer.py:408
+    quirk): the reference's walking-cursor embedding construction
+    (``channel_vit.py:89-136``) vs our plan+gather
+    (``ops/novel_channels.py``), compared through the FULL forward.
+    Channel 2 of the eval chunk is never trained; channel 3 exists only in
+    the training chunk (the ``not_in_chunk`` bank)."""
+    _, ref_cv, _ = ref_modules
+    from functools import partial
+
+    import jax.numpy as jnp
+
+    from helper_classes.first_layer_init import NewChannelLeaveOneOut
+
+    from diverse_channel_vit_tpu.models.channel_vit import ChannelVisionTransformer
+    from diverse_channel_vit_tpu.ops.novel_channels import (
+        synthesis_plan,
+        synthesize_rows,
+    )
+
+    mapper = {"train": [0, 1, 3], "test": [0, 1, 2]}
+    c_total, depth, d_model, heads, patch, img = 4, 2, 64, 2, 16, 32
+    torch.manual_seed(4)
+    ref_model = ref_cv.ChannelVisionTransformer(
+        img_size=[img], patch_size=patch, in_chans=c_total, mapper=mapper,
+        embed_dim=d_model, depth=depth, num_heads=heads, qkv_bias=True,
+        enable_sample=False,
+        norm_layer=partial(torch.nn.LayerNorm, eps=1e-6),
+    ).eval()
+
+    ours = ChannelVisionTransformer(
+        num_total_channels=c_total, img_size=img, patch_size=patch,
+        embed_dim=d_model, depth=depth, num_heads=heads, attention_impl="xla",
+    )
+    params = _transplant(ref_model, depth)
+
+    x = np.random.default_rng(6).normal(size=(2, 3, img, img)).astype(np.float32)
+    with torch.no_grad():
+        want = ref_model(
+            torch.from_numpy(x), "test", training_chunks="train",
+            new_channel_init=NewChannelLeaveOneOut(strategy),
+        ).numpy()
+
+    plan = synthesis_plan(mapper, "test", "train", strategy)
+    override = synthesize_rows(params["channel_embed"], plan)
+    got, _ = ours.apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(mapper["test"]),
+        train=False, channel_embed_override=override,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-3)
+
+
 def test_tps_warp_matches_reference(ref_modules):
     _, _, ref_tps = ref_modules
     from diverse_channel_vit_tpu.data import tps as our_tps
