@@ -57,7 +57,7 @@ def torch_backbone(name: str, weights_path: str):
     else:
         raise ValueError(
             f"Unsupported backbone {name!r}; use "
-            "resnet18|convnext|convnext_jax|dinov2_jax|checkpoint"
+            "resnet18|resnet18_jax|resnet34_jax|convnext|convnext_jax|dinov2_jax|checkpoint"
         )
     model.eval()
 
@@ -111,6 +111,42 @@ def jax_convnext_backbone(weights_path: str, *, depths=(3, 3, 9, 3),
         return np.asarray(fwd(jnp.asarray(batch_np, jnp.float32)))
 
     return run, dims[-1]
+
+
+def jax_resnet_backbone(weights_path: str, *, layers=None):
+    """TPU-native ResNet-18/34 feature backbone from a LOCAL torchvision
+    state dict (``models/resnet.py``). Replaces the torch/torchvision
+    resnet18 host path (torchvision is absent in some envs); the layer
+    config is inferred from the state dict when not given."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ..models.resnet import ResNetFeatures, load_torch_resnet_state
+
+    obj = torch.load(weights_path, map_location="cpu", weights_only=True)
+    for key in ("state_dict", "model"):
+        if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
+            obj = obj[key]
+    sd = {k.removeprefix("module."): v for k, v in obj.items()}
+
+    if layers is None:
+        layers = tuple(
+            sum(1 for k in sd if k.startswith(f"layer{li}.") and k.endswith(".conv1.weight")
+                and ".downsample" not in k)
+            for li in range(1, 5)
+        )
+    net = ResNetFeatures(layers=layers)
+    params = jax.jit(
+        lambda r: net.init(r, jnp.zeros((1, 3, 32, 32), jnp.float32))["params"]
+    )(jax.random.key(0))
+    params = load_torch_resnet_state(params, sd)
+    fwd = jax.jit(lambda x: net.apply({"params": params}, x))
+
+    def run(batch_np: np.ndarray) -> np.ndarray:
+        return np.asarray(fwd(jnp.asarray(batch_np, jnp.float32)))
+
+    return run, 512
 
 
 def jax_dinov2_backbone(weights_path: str, *, num_heads: int | None = None):
@@ -172,6 +208,8 @@ def get_save_features(
         run, _ = jax_convnext_backbone(weights)
     elif model == "dinov2_jax":
         run, _ = jax_dinov2_backbone(weights, num_heads=heads)
+    elif model in ("resnet18_jax", "resnet34_jax"):
+        run, _ = jax_resnet_backbone(weights)
     else:
         run, _ = torch_backbone(model, weights)
     feats = []

@@ -525,6 +525,7 @@ class Trainer:
                 augment_fn=self._device_augment_fn(),
                 donate=bool(self.cfg.train.get("donate_state", True)),
                 mesh=self.mesh,
+                feature_fn=self._hcs_feature_fn(),
             )
         return self._train_steps[key]
 
@@ -548,6 +549,7 @@ class Trainer:
                 miro_ld=self.miro_ld if self.miro else 0.0,
                 augment_fn=self._device_augment_fn(),
                 mesh=self.mesh,
+                feature_fn=self._hcs_feature_fn(),
             )
         return self._grad_steps[key]
 
@@ -570,6 +572,46 @@ class Trainer:
             return jumpcp_train_augment(key, imgs, mean, std, img_size=img_size)
 
         return fn
+
+    def _hcs_feature_fn(self):
+        """Frozen ResNet-34 channel scorer for ``hcs_sampling=*_resnet34``
+        (``dichavit.py:68-79``, ``:162-167``): per-channel RGB-replicated
+        embeddings feed the DCS cosine scoring inside the jitted step. The
+        reference downloads timm's pretrained resnet34; on zero-egress
+        hosts a local torchvision-layout checkpoint comes in through
+        ``++model.resnet34_ckpt`` (random init + a loud log otherwise)."""
+        if not (self.hcs_method or "").endswith("_resnet34"):
+            return None
+        if getattr(self, "_resnet34_fn", None) is None:
+            from .models.resnet import (
+                RESNET34_LAYERS,
+                ResNetFeatures,
+                load_torch_resnet_state,
+                per_channel_features,
+            )
+
+            net = ResNetFeatures(layers=RESNET34_LAYERS, dtype=self.dtype)
+            sample = jnp.zeros((1, 3, 32, 32), jnp.float32)
+            rparams = jax.jit(lambda r: net.init(r, sample))(
+                jax.random.key(self.seed))["params"]
+            ckpt = self.cfg.model.get("resnet34_ckpt")
+            if ckpt:
+                rparams = load_torch_resnet_state(
+                    rparams, _load_torch_state_dict(str(ckpt)))
+                self.logger.info(f"hcs resnet34 scorer: weights from {ckpt}")
+            else:
+                self.logger.info(
+                    "hcs resnet34 scorer: model.resnet34_ckpt unset — "
+                    "random-init backbone (provide a local torchvision "
+                    "resnet34 state dict for reference-equivalent sampling)"
+                )
+
+            def fn(x, _net=net, _p=rparams):
+                return per_channel_features(
+                    lambda im: _net.apply({"params": _p}, im), x)
+
+            self._resnet34_fn = fn
+        return self._resnet34_fn
 
     def _get_eval_step(self, chunk=None):
         if chunk not in self._eval_steps:

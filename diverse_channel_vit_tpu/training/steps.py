@@ -60,6 +60,7 @@ def _select_channels(
     temp: float,
     patch_size: Optional[int] = None,
     axis_name: Optional[str] = None,
+    feature_fn: Optional[Callable] = None,
 ):
     """Gather a sampled channel subset of the batch (HCS/DCS).
 
@@ -100,6 +101,20 @@ def _select_channels(
         cos_matrix = batch_cosine_matrix(toks.reshape(x.shape[0], c, -1))
         if axis_name is not None:
             # per-shard batch means -> exact global batch mean
+            cos_matrix = jax.lax.pmean(cos_matrix, axis_name)
+    elif method not in (None, "none", "uniform") and method.endswith("_resnet34"):
+        # frozen-backbone channel scoring (dichavit.py:100-111, :162-167):
+        # per-channel RGB-replicated embeddings -> batch-mean pairwise cosine
+        from ..ops.sampling import batch_cosine_matrix
+
+        if feature_fn is None:
+            raise ValueError(
+                "hcs_sampling=*_resnet34 needs the trainer-provided frozen "
+                "backbone (model.resnet34_ckpt); see trainer._hcs_feature_fn"
+            )
+        feats = jax.lax.stop_gradient(feature_fn(x))  # (B, C, F)
+        cos_matrix = batch_cosine_matrix(feats)
+        if axis_name is not None:
             cos_matrix = jax.lax.pmean(cos_matrix, axis_name)
     needs_embed = method not in (None, "none", "uniform")
     if needs_embed and cos_matrix is None:
@@ -227,6 +242,7 @@ def make_train_step(
     augment_fn: Optional[Callable] = None,
     donate: bool = True,
     mesh=None,
+    feature_fn: Optional[Callable] = None,
 ) -> Callable[[TrainState, Dict[str, jax.Array], jax.Array], Tuple[TrainState, Dict]]:
     """Fused grad + optimizer update for a single-chunk batch.
 
@@ -253,6 +269,7 @@ def make_train_step(
             xs, cs, override = _select_channels(
                 params, x, cids_const, rng_sample, k=k, method=hcs_method,
                 temp=hcs_temp, patch_size=patch_size, axis_name=axis,
+                feature_fn=feature_fn,
             )
             total, metrics = _loss_and_metrics(
                 model, params, xs, cs, y, rng_drop,
@@ -310,6 +327,7 @@ def make_grad_step(
     miro_ld: float = 0.0,
     augment_fn: Optional[Callable] = None,
     mesh=None,
+    feature_fn: Optional[Callable] = None,
 ):
     """Per-chunk gradient microbatch: returns (grads, metrics), no update.
 
@@ -337,6 +355,7 @@ def make_grad_step(
             xs, cs, override = _select_channels(
                 p, x, cids_const, rng_sample, k=k, method=hcs_method,
                 temp=hcs_temp, patch_size=patch_size, axis_name=axis,
+                feature_fn=feature_fn,
             )
             total, metrics = _loss_and_metrics(
                 model, p, xs, cs, y, rng_drop,
