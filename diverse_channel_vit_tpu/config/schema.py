@@ -142,6 +142,10 @@ SECTION_DEFAULTS = {
         # stand-in for timm's pretrained download; model.pretrained may also
         # be the path string directly)
         "pretrained_ckpt": None,
+        # local torchvision-layout resnet34 state dict for the
+        # hcs_sampling=*_resnet34 frozen channel scorer (the reference
+        # downloads timm's pretrained resnet34; zero-egress stand-in)
+        "resnet34_ckpt": None,
         "attention_impl": "auto",  # auto | pallas | xla
         "remat": False,  # rematerialize transformer blocks (HBM headroom)
         "scan_blocks": False,  # one nn.scan loop over blocks (fast compile; stacked params)
