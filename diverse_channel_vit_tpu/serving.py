@@ -101,11 +101,19 @@ class ServingEngine:
         max_wait_ms: float = 2.0,
         dtype=jnp.bfloat16,
         quantization: Optional[str] = None,
+        mesh=None,
     ):
         if quantization not in (None, "none", "int8"):
             raise ValueError(f"unknown quantization mode: {quantization!r}")
         self.model = model
         self.params = params
+        # multi-chip (data-parallel) serving: batch shards over the mesh's
+        # "data" axis, params replicate, the forward runs per shard under
+        # shard_map (Mosaic kernels cannot be GSPMD-partitioned — the same
+        # contract as training/steps.py). Buckets round up to data-axis
+        # multiples so every shard gets equal rows.
+        self.mesh = mesh
+        self._dp = dict(mesh.shape).get("data", 1) if mesh is not None else 1
         # None inherits the process default (training config); a string pins
         # this engine's programs regardless of it
         self.quantization = quantization
@@ -114,6 +122,13 @@ class ServingEngine:
         if self.max_batch not in self.buckets:
             self.buckets.append(self.max_batch)
             self.buckets.sort()
+        if self._dp > 1:
+            rnd = lambda b: -(-int(b) // self._dp) * self._dp
+            self.buckets = sorted({rnd(b) for b in self.buckets})
+            self.max_batch = rnd(self.max_batch)
+            from .parallel import shard_params
+
+            self.params = shard_params(self.params, mesh)
         self.max_wait_s = max_wait_ms / 1e3
         self.dtype = dtype
         self._compiled = {}  # (bucket, cids_key) -> compiled executable
@@ -125,10 +140,26 @@ class ServingEngine:
     # ---- compilation ---------------------------------------------------
 
     def _fwd(self, params, x, cids):
-        out, _ = self.model.apply(
-            {"params": params}, x.astype(self.dtype), cids, train=False
-        )
-        return out
+        def apply(p, xx, cc):
+            out, _ = self.model.apply(
+                {"params": p}, xx.astype(self.dtype), cc, train=False
+            )
+            return out
+
+        if self._dp > 1:
+            from jax.sharding import PartitionSpec as P
+
+            from .training.steps import _manual_axes
+
+            return jax.shard_map(
+                apply,
+                mesh=self.mesh,
+                in_specs=(P(), P("data"), P()),
+                out_specs=P("data"),
+                axis_names=_manual_axes(self.mesh),
+                check_vma=False,
+            )(params, x, cids)
+        return apply(params, x, cids)
 
     def _executable(self, bucket: int, cids: np.ndarray, img_shape):
         key = (bucket, tuple(int(c) for c in cids), tuple(img_shape))
@@ -156,7 +187,25 @@ class ServingEngine:
                     if self.quantization is not None:
                         _fb.set_quantization(self.quantization)
                     try:
-                        exe = jax.jit(self._fwd).lower(p, x, c).compile()
+                        if self._dp > 1:
+                            from jax.sharding import (
+                                NamedSharding,
+                                PartitionSpec as P,
+                            )
+
+                            repl = NamedSharding(self.mesh, P())
+                            dsh = NamedSharding(self.mesh, P("data"))
+                            fn = jax.jit(
+                                self._fwd,
+                                in_shardings=(
+                                    jax.tree_util.tree_map(lambda _: repl, self.params),
+                                    dsh, repl,
+                                ),
+                                out_shardings=dsh,
+                            )
+                        else:
+                            fn = jax.jit(self._fwd)
+                        exe = fn.lower(p, x, c).compile()
                     finally:
                         _fb.set_quantization(prev)
                     self._compiled[key] = exe
@@ -191,7 +240,14 @@ class ServingEngine:
                     [chunk, np.zeros((b - take, *images.shape[1:]), np.float32)]
                 )
             exe = self._executable(b, np.asarray(cids, np.int32), images.shape[2:])
-            out = exe(self.params, jnp.asarray(chunk), cids_arr)
+            chunk_dev = jnp.asarray(chunk)
+            cids_dev = cids_arr
+            if self._dp > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                chunk_dev = jax.device_put(chunk_dev, NamedSharding(self.mesh, P("data")))
+                cids_dev = jax.device_put(cids_dev, NamedSharding(self.mesh, P()))
+            out = exe(self.params, chunk_dev, cids_dev)
             outs.append(np.asarray(out)[:take])
             i += take
         return np.concatenate(outs) if len(outs) > 1 else outs[0]

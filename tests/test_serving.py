@@ -93,6 +93,31 @@ def test_dynamic_batcher_roundtrip(engine):
     assert s["n_images"] == 8 and s["p50_ms"] > 0
 
 
+def test_dp_mesh_engine_matches_single_device(engine):
+    """Multi-chip (data-parallel) serving: batch sharded over the mesh's
+    data axis via shard_map, buckets rounded to shard multiples — outputs
+    equal the single-device engine row-for-row."""
+    from diverse_channel_vit_tpu.parallel import make_mesh
+
+    single, model, params = engine
+    mesh = make_mesh({"data": 8})
+    eng = ServingEngine(model, params, buckets=(1, 4, 8), dtype=jnp.float32,
+                        mesh=mesh)
+    assert eng.buckets == [8] and eng.max_batch == 8  # rounded to dp=8
+
+    rng = np.random.default_rng(17)
+    imgs = rng.normal(size=(5, C, IMG, IMG)).astype(np.float32)
+    want = single.predict(imgs, list(range(C)))
+    got = eng.predict(imgs, list(range(C)))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    # channel subset + a batch above max_batch (splits into two programs)
+    imgs2 = rng.normal(size=(11, 2, IMG, IMG)).astype(np.float32)
+    want2 = single.predict(imgs2, [1, 3])
+    got2 = eng.predict(imgs2, [1, 3])
+    np.testing.assert_allclose(got2, want2, atol=1e-5, rtol=1e-5)
+
+
 def test_http_server_roundtrip(engine):
     """HTTP front (serving_http.py): JSON batch, JSON single-image through
     the micro-batcher, npy body, stats and error paths."""
