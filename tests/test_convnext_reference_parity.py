@@ -96,37 +96,22 @@ class _TimmConvNeXtTiny(nn.Module):
 
 @pytest.fixture(scope="module")
 def ref_cnx():
-    """Import the reference ConvNeXt variant modules (timm/omegaconf stubbed)."""
-    import importlib
+    """Import the reference ConvNeXt variant modules (timm/omegaconf stubbed,
+    scoped by ref_stubs so the stubs don't leak past the import)."""
+    import ref_stubs
 
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    for stub_name, attrs in (
-        ("timm", {"create_model": lambda *a, **k: None}),
-        ("timm.models", {"ConvNeXt": type("ConvNeXt", (), {})}),
-        ("torchvision", {"datasets": types.SimpleNamespace(),
-                         "utils": types.SimpleNamespace()}),
-        ("torchvision.transforms", {"transforms": types.SimpleNamespace()}),
-        ("omegaconf", {"MISSING": "???", "OmegaConf": type("OmegaConf", (), {})}),
-    ):
-        if stub_name not in sys.modules:
-            mod = types.ModuleType(stub_name)
-            for k, v in attrs.items():
-                setattr(mod, k, v)
-            sys.modules[stub_name] = mod
-    for pkg in ("models", "datasets"):
-        if pkg not in sys.modules:
-            mod = types.ModuleType(pkg)
-            mod.__path__ = [os.path.join(REF, pkg)]
-            sys.modules[pkg] = mod
-    mods = {
-        "base": importlib.import_module("models.convnext_base"),
-        "shared": importlib.import_module("models.shared_convnext"),
-        "slice": importlib.import_module("models.slice_param_convnext"),
-        "template": importlib.import_module("models.template_mixing_convnext"),
-        "hyper": importlib.import_module("models.hypernet_convnext"),
-        "depthwise": importlib.import_module("models.depthwise_convnext"),
-    }
+    loaded = ref_stubs.load(
+        "models.convnext_base",
+        "models.shared_convnext",
+        "models.slice_param_convnext",
+        "models.template_mixing_convnext",
+        "models.hypernet_convnext",
+        "models.depthwise_convnext",
+    )
+    mods = dict(
+        zip(("base", "shared", "slice", "template", "hyper", "depthwise"),
+            loaded)
+    )
     # every variant module did `from timm import create_model` — patch the
     # module-level binding to hand out the faithful stand-in
     for m in mods.values():

@@ -22,32 +22,10 @@ C_TOTAL, IMG, PATCH, DIM, DEPTH, HEADS = 3, 32, 16, 64, 2, 2
 
 @pytest.fixture(scope="module")
 def ref_dichavit():
-    """Reference dichavit module with the stub set the other golden tests
-    use (timm/torchvision/omegaconf absent in env)."""
-    import importlib
+    """Reference dichavit module (third-party stubs scoped by ref_stubs)."""
+    import ref_stubs
 
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    stubs = (
-        ("timm", {"create_model": lambda *a, **k: None}),
-        ("timm.models", {"ConvNeXt": type("ConvNeXt", (), {})}),
-        ("torchvision", {"datasets": types.SimpleNamespace(),
-                         "utils": types.SimpleNamespace()}),
-        ("torchvision.transforms", {"transforms": types.SimpleNamespace()}),
-        ("omegaconf", {"MISSING": "???", "OmegaConf": type("OmegaConf", (), {})}),
-    )
-    for name, attrs in stubs:
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            for k, v in attrs.items():
-                setattr(mod, k, v)
-            sys.modules[name] = mod
-    for pkg in ("models", "datasets"):
-        if pkg not in sys.modules:
-            mod = types.ModuleType(pkg)
-            mod.__path__ = [os.path.join(REF, pkg)]
-            sys.modules[pkg] = mod
-    return importlib.import_module("models.dichavit")
+    return ref_stubs.load("models.dichavit")
 
 
 class _Cfg(dict):

@@ -28,46 +28,20 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree a
 @pytest.fixture(scope="module")
 def ref_modules():
     """Import reference modules without running models/__init__ (timm)."""
-    import importlib
+    import ref_stubs
 
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    for stub_name, attrs in (
-        ("timm", {"create_model": lambda *a, **k: None}),
-        ("timm.models", {"ConvNeXt": type("ConvNeXt", (), {})}),
-        ("torchvision", {"datasets": types.SimpleNamespace(),
-                         "utils": types.SimpleNamespace()}),
-        ("torchvision.transforms", {"transforms": types.SimpleNamespace()}),
-    ):
-        if stub_name not in sys.modules:
-            mod = types.ModuleType(stub_name)
-            for k, v in attrs.items():
-                setattr(mod, k, v)
-            sys.modules[stub_name] = mod
-    # register the packages with a __path__ but WITHOUT running __init__
-    for pkg in ("models", "datasets"):
-        if pkg not in sys.modules:
-            mod = types.ModuleType(pkg)
-            mod.__path__ = [os.path.join(REF, pkg)]
-            sys.modules[pkg] = mod
-    loss_fn = importlib.import_module("models.loss_fn")
-    channel_vit = importlib.import_module("models.channel_vit")
-    tps = importlib.import_module("datasets.tps_transform")
-    return loss_fn, channel_vit, tps
+    return ref_stubs.load(
+        "models.loss_fn", "models.channel_vit", "datasets.tps_transform"
+    )
 
 
 @pytest.fixture(scope="module")
 def ref_model_utils(ref_modules):
     """models/model_utils.py needs config.py, which imports omegaconf (absent
-    in env) — stub MISSING/OmegaConf, then import."""
-    import importlib
+    in env) — ref_stubs scopes the stub."""
+    import ref_stubs
 
-    if "omegaconf" not in sys.modules:
-        om = types.ModuleType("omegaconf")
-        om.MISSING = "???"
-        om.OmegaConf = type("OmegaConf", (), {})
-        sys.modules["omegaconf"] = om
-    return importlib.import_module("models.model_utils")
+    return ref_stubs.load("models.model_utils")
 
 
 @pytest.mark.parametrize("in_dim", [4, 5, 8])

@@ -44,32 +44,11 @@ BATCH = 8
 
 @pytest.fixture(scope="module")
 def ref_dichavit():
-    """Import the reference dichavit module with the stub set used by
-    test_reference_parity (timm/torchvision/omegaconf absent in env)."""
-    import importlib
+    """Import the reference dichavit module (third-party stubs scoped by
+    ref_stubs — they must not leak into sys.modules past the import)."""
+    import ref_stubs
 
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    stubs = (
-        ("timm", {"create_model": lambda *a, **k: None}),
-        ("timm.models", {"ConvNeXt": type("ConvNeXt", (), {})}),
-        ("torchvision", {"datasets": types.SimpleNamespace(),
-                         "utils": types.SimpleNamespace()}),
-        ("torchvision.transforms", {"transforms": types.SimpleNamespace()}),
-        ("omegaconf", {"MISSING": "???", "OmegaConf": type("OmegaConf", (), {})}),
-    )
-    for name, attrs in stubs:
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            for k, v in attrs.items():
-                setattr(mod, k, v)
-            sys.modules[name] = mod
-    for pkg in ("models", "datasets"):
-        if pkg not in sys.modules:
-            mod = types.ModuleType(pkg)
-            mod.__path__ = [os.path.join(REF, pkg)]
-            sys.modules[pkg] = mod
-    return importlib.import_module("models.dichavit")
+    return ref_stubs.load("models.dichavit")
 
 
 class _Cfg(dict):
@@ -306,9 +285,9 @@ def test_trajectory_mixed_chunk_proxy_path(ref_dichavit, exact_gelu):
     trunk.train()
     scale = float(np.sqrt(1.0 / temperature))
 
-    import importlib
+    import ref_stubs
 
-    loss_fn = importlib.import_module("models.loss_fn")
+    loss_fn = ref_stubs.load("models.loss_fn")
 
     rng = np.random.default_rng(21)
     xs = {

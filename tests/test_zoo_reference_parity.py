@@ -26,34 +26,14 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree a
 @pytest.fixture(scope="module")
 def ref_zoo():
     """Import the reference zoo modules without running models/__init__
-    (timm) or config.py's omegaconf import."""
-    import importlib
+    (timm) or config.py's omegaconf import; stubs scoped by ref_stubs."""
+    import ref_stubs
 
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    for stub_name, attrs in (
-        ("timm", {"create_model": lambda *a, **k: None}),
-        ("timm.models", {"ConvNeXt": type("ConvNeXt", (), {})}),
-        ("torchvision", {"datasets": types.SimpleNamespace(),
-                         "utils": types.SimpleNamespace()}),
-        ("torchvision.transforms", {"transforms": types.SimpleNamespace()}),
-        ("omegaconf", {"MISSING": "???", "OmegaConf": type("OmegaConf", (), {})}),
-    ):
-        if stub_name not in sys.modules:
-            mod = types.ModuleType(stub_name)
-            for k, v in attrs.items():
-                setattr(mod, k, v)
-            sys.modules[stub_name] = mod
-    for pkg in ("models", "datasets"):
-        if pkg not in sys.modules:
-            mod = types.ModuleType(pkg)
-            mod.__path__ = [os.path.join(REF, pkg)]
-            sys.modules[pkg] = mod
-    return (
-        importlib.import_module("models.depthwise_vit"),
-        importlib.import_module("models.hyper_vit"),
-        importlib.import_module("models.template_mixing_vit"),
-        importlib.import_module("models.vit_adapt"),
+    return ref_stubs.load(
+        "models.depthwise_vit",
+        "models.hyper_vit",
+        "models.template_mixing_vit",
+        "models.vit_adapt",
     )
 
 
