@@ -276,15 +276,23 @@ class BatchLoader:
         return [one(i) for i in indices]
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        return self.iter_batches(0)
+
+    def iter_batches(self, start: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Iterate this epoch's batches from batch index ``start``.
+
+        The skipped prefix is never fetched — batch order is a pure function
+        of (seed, epoch), so resuming a preempted epoch at its interruption
+        point (trainer ``train.auto_resume``) costs nothing."""
         idx = self._indices()
         bs = self.batch_size
         n_full = len(idx) // bs
-        for b in range(n_full):
+        for b in range(start, n_full):
             batch = self._fetch_stacked(idx[b * bs : (b + 1) * bs])
             batch["valid"] = np.ones((bs,), np.bool_)
             yield batch
         rem = idx[n_full * bs :]
-        if len(rem) and not self.drop_last:
+        if len(rem) and not self.drop_last and start <= n_full:
             batch = self._fetch_stacked(rem)
             valid = np.ones((len(rem),), np.bool_)
             if self.pad_last:
@@ -366,8 +374,14 @@ class MixedChunkLoader:
         return min(len(ld) for ld in self.loaders.values())
 
     def __iter__(self):
-        iters = {k: iter(ld) for k, ld in self.loaders.items()}
-        for _ in range(len(self)):
+        return self.iter_batches(0)
+
+    def iter_batches(self, start: int = 0):
+        """Iterate from batch index ``start`` (see BatchLoader.iter_batches);
+        every chunk's sub-loader skips the same prefix, preserving the
+        per-chunk pairing of the uninterrupted epoch."""
+        iters = {k: ld.iter_batches(start) for k, ld in self.loaders.items()}
+        for _ in range(start, len(self)):
             yield {k: next(it) for k, it in iters.items()}
         self._epoch += 1
         for ld in self.loaders.values():

@@ -40,7 +40,14 @@ from .training import (
     make_lr_schedule,
     make_optimizer,
 )
-from .training.checkpoint import load_checkpoint, save_checkpoint, wait_for_checkpoints
+from .training.checkpoint import (
+    load_checkpoint,
+    load_meta,
+    load_tree,
+    save_checkpoint,
+    save_tree,
+    wait_for_checkpoints,
+)
 from .training.state import param_count
 from .training.steps import (
     make_apply_step,
@@ -408,6 +415,8 @@ class Trainer:
         )
         self._preempt_guard = None
         self._epoch_interrupted = False
+        self._interrupted_at_batch = 0
+        self._resume_start_batch = 0
         if (
             cfg.train.get("auto_resume", True)
             and self.start_epoch == 1
@@ -417,10 +426,40 @@ class Trainer:
                 self.preempt_dir, self.state, name="model_preempt"
             )
             self.start_epoch = last_epoch + 1
+            meta = load_meta(self.preempt_dir, "model_preempt")
+            # exact mid-epoch resume: re-enter the interrupted epoch at the
+            # batch the SIGTERM landed on. Everything downstream is a pure
+            # function of restored state: batch order = f(seed, epoch),
+            # per-example augmentation rng = f(seed, epoch, index), step rng
+            # = fold_in(base_rng, state.step), and the stateful host
+            # generator (HCS k-draws, synthesis plans) restores its exact
+            # bit-generator state — so preempt+resume is bit-identical to
+            # the uninterrupted run.
+            if (
+                meta.get("resume_epoch") is not None
+                and cfg.train.get("resume_mid_epoch", True)
+            ):
+                self.start_epoch = int(meta["resume_epoch"])
+                self._resume_start_batch = int(meta.get("resume_batch", 0))
+            if meta.get("host_rng_state") is not None:
+                self.host_rng.bit_generator.state = meta["host_rng_state"]
+            for c, n in (meta.get("channel_counter") or {}).items():
+                self.channel_counter[int(c)] = int(n)
+            if meta.get("swa_n"):
+                swa = load_tree(self.preempt_dir, "model_preempt_swa",
+                                self.state.params)
+                if swa is not None:
+                    if self.n_devices > 1:
+                        swa = shard_params(swa, self.mesh)
+                    self.swa_params, self.swa_n = swa, int(meta["swa_n"])
             self._place_state_on_mesh()
+            mid = (
+                f", re-entering epoch {self.start_epoch} at batch "
+                f"{self._resume_start_batch}" if self._resume_start_batch else ""
+            )
             self.logger.info(
-                f"auto-resumed from preemption checkpoint at epoch {last_epoch} "
-                f"({self.preempt_dir})"
+                f"auto-resumed from preemption checkpoint at epoch {last_epoch}"
+                f"{mid} ({self.preempt_dir})"
             )
 
     def _place_state_on_mesh(self):
@@ -678,14 +717,24 @@ class Trainer:
             pass  # reference evaluates before training only in some modes
         for epoch in range(self.start_epoch, self.total_epochs + 1):
             self._epoch_interrupted = False
-            train_metrics = self.train_one_epoch(epoch)
+            start_batch = self._resume_start_batch if epoch == self.start_epoch else 0
+            train_metrics = self.train_one_epoch(epoch, start_batch=start_batch)
             if self._preempt_guard.triggered:
-                # a partially-run epoch is dropped and re-run on resume;
-                # state.step keeps its mid-epoch value so step-indexed
-                # schedules only ever advance (a few steps of lr skew,
-                # never a rewind)
+                # an interrupted epoch resumes EXACTLY where it stopped:
+                # the checkpoint records (epoch, batch index) and the host
+                # RNG state; the next launch re-enters the epoch at that
+                # batch (loaders skip the prefix without fetching it), so
+                # preempt+resume reproduces the uninterrupted run bit for
+                # bit. ``++train.resume_mid_epoch=False`` restores the
+                # simpler drop-partial-epoch behaviour.
                 completed = epoch - 1 if self._epoch_interrupted else epoch
-                self._save_preempt(completed)
+                self._save_preempt(
+                    completed,
+                    resume_epoch=epoch if self._epoch_interrupted else None,
+                    resume_batch=self._interrupted_at_batch
+                    if self._epoch_interrupted
+                    else None,
+                )
                 wait_for_checkpoints()  # plus any in-flight async epoch save
                 if profile_dir:
                     jax.profiler.stop_trace()
@@ -737,19 +786,37 @@ class Trainer:
         self.logger.finish(f"training done: best_acc={best_acc:.4f} (epoch {best_epoch})")
         return best_acc
 
-    def _save_preempt(self, last_completed_epoch: int):
+    def _save_preempt(self, last_completed_epoch: int, *, resume_epoch=None,
+                      resume_batch=None):
         """SIGTERM checkpoint to the stable preempt path (process 0 only);
-        the next launch of the same (dataset, seed) auto-resumes from it."""
+        the next launch of the same (dataset, seed) auto-resumes from it.
+        Alongside the TrainState, the sidecar records everything needed for
+        EXACT mid-epoch continuation: the interruption point, the host RNG
+        bit-generator state (HCS k-draws), the channel-usage counters, and
+        the SWA running average when active."""
         if jax.process_index() != 0 or self.debug:
             return
+        extra = {
+            "resume_epoch": None if resume_epoch is None else int(resume_epoch),
+            "resume_batch": None if resume_batch is None else int(resume_batch),
+            "host_rng_state": self.host_rng.bit_generator.state,
+            "channel_counter": {str(c): int(n) for c, n in self.channel_counter.items()},
+            "swa_n": int(self.swa_n),
+        }
         save_checkpoint(
             self.preempt_dir, self.state, epoch=max(int(last_completed_epoch), 0),
             config=self.cfg.to_dict() if hasattr(self.cfg, "to_dict") else None,
-            name="model_preempt",
+            name="model_preempt", extra_meta=extra,
+        )
+        if self.swa_params is not None:
+            save_tree(self.preempt_dir, "model_preempt_swa", self.swa_params)
+        where = (
+            f"mid-epoch at (epoch {resume_epoch}, batch {resume_batch})"
+            if resume_epoch is not None
+            else f"last completed epoch {last_completed_epoch}"
         )
         self.logger.info(
-            f"preemption checkpoint saved (last completed epoch "
-            f"{last_completed_epoch}) -> {self.preempt_dir}"
+            f"preemption checkpoint saved ({where}) -> {self.preempt_dir}"
         )
 
     def _swa_update(self):
@@ -764,7 +831,7 @@ class Trainer:
             )
         self.swa_n = n + 1
 
-    def train_one_epoch(self, epoch: int) -> Dict[str, float]:
+    def train_one_epoch(self, epoch: int, start_batch: int = 0) -> Dict[str, float]:
         self._cur_epoch = epoch
         loader_key = SHUFFLE_ALL if SHUFFLE_ALL in self.train_loaders else self.all_chunks[0]
         loader = self.train_loaders[loader_key]
@@ -775,20 +842,29 @@ class Trainer:
         # the running step — host->device bandwidth is the bottleneck on
         # tunneled/dev hosts (measured ~50 MB/s here; a 64x8x224^2 f32 batch
         # is 102 MB). Images ship in the compute dtype (bf16 halves bytes;
-        # the model casts on entry anyway).
-        loader_iter = prefetch(map(self._to_device, iter(loader)), depth=2)
+        # the model casts on entry anyway). start_batch > 0 re-enters a
+        # preempted epoch at its interruption point (the loaders skip the
+        # prefix without fetching it).
+        host_iter = (
+            loader.iter_batches(start_batch)
+            if start_batch and hasattr(loader, "iter_batches")
+            else iter(loader)
+        )
+        loader_iter = prefetch(map(self._to_device, host_iter), depth=2)
         meters: Dict[str, AverageMeter] = {}
         max_batches = 3 if self.debug else math.inf
         n_images = 0
         t_start = time.perf_counter()
         t_first_step_done = None  # exclude the first step (compile) from imgs/sec
-        for i, batch in enumerate(loader_iter):
+        for i, batch in enumerate(loader_iter, start=start_batch):
             if i >= max_batches:
                 break
             if self._preempt_guard is not None and self._preempt_guard.triggered:
                 # step boundaries are the only safe interruption points —
-                # a jitted step must run to completion
+                # a jitted step must run to completion. Batch i has not run
+                # yet: the resumed epoch starts exactly here.
                 self._epoch_interrupted = True
+                self._interrupted_at_batch = i
                 break
             if loader_key == SHUFFLE_ALL:
                 metrics = self._train_one_batch_morphem(batch)

@@ -46,6 +46,7 @@ def save_checkpoint(
     config: Optional[dict] = None,
     name: str = "model_last",
     wait: bool = True,
+    extra_meta: Optional[dict] = None,
 ) -> str:
     path = os.path.abspath(os.path.join(directory, name))
     os.makedirs(directory, exist_ok=True)
@@ -64,9 +65,40 @@ def save_checkpoint(
         ckpt.wait_until_finished()
         ckpt.save(path, args=ocp.args.StandardSave(tree), force=True)
     meta = {"epoch": int(epoch), "accuracy": float(accuracy), "config": config or {}}
+    if extra_meta:
+        meta.update(extra_meta)
     with open(os.path.join(directory, f"{name}.meta.json"), "w") as f:
         json.dump(meta, f)
     return path
+
+
+def load_meta(directory: str, name: str = "model_last") -> dict:
+    """The sidecar JSON written by :func:`save_checkpoint` ({} if absent)."""
+    meta_path = os.path.join(directory, f"{name}.meta.json")
+    if not os.path.exists(meta_path):
+        return {}
+    with open(meta_path) as f:
+        return json.load(f)
+
+
+def save_tree(directory: str, name: str, tree) -> str:
+    """Save a bare pytree (e.g. the SWA running average riding along a
+    preemption checkpoint) next to the main state."""
+    path = os.path.abspath(os.path.join(directory, name))
+    os.makedirs(directory, exist_ok=True)
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(path, tree, force=True)
+    ckpt.wait_until_finished()
+    return path
+
+
+def load_tree(directory: str, name: str, template):
+    """Restore a pytree saved by :func:`save_tree` into ``template``'s
+    structure; returns None when no such checkpoint exists."""
+    path = os.path.abspath(os.path.join(directory, name))
+    if not os.path.isdir(path):
+        return None
+    return ocp.StandardCheckpointer().restore(path, template)
 
 
 def load_checkpoint(directory: str, state, *, name: str = "model_last") -> Tuple[Any, int]:

@@ -69,8 +69,8 @@ def test_preempt_at_epoch_boundary_then_auto_resume(tmp_path, monkeypatch):
 
     orig = Trainer.train_one_epoch
 
-    def epoch_then_sigterm(self, epoch):
-        out = orig(self, epoch)
+    def epoch_then_sigterm(self, epoch, start_batch=0):
+        out = orig(self, epoch, start_batch=start_batch)
         if epoch == 1:
             os.kill(os.getpid(), signal.SIGTERM)
         return out
@@ -97,7 +97,62 @@ def test_preempt_at_epoch_boundary_then_auto_resume(tmp_path, monkeypatch):
     assert t3.start_epoch == 1  # fresh launch, nothing to shadow it
 
 
-def test_preempt_mid_epoch_drops_partial_epoch(tmp_path, monkeypatch):
+def test_preempt_mid_epoch_exact_resume(tmp_path, monkeypatch):
+    """preempt + auto-resume == the uninterrupted run, bit for bit.
+
+    HCS on (the stateful host k-draw stream must restore exactly) and SWAD
+    on from epoch 2 (the per-batch running average must ride the
+    checkpoint). The interrupted epoch re-enters at the exact batch."""
+    hcs_swad = [
+        "++model.enable_sample=True",
+        "++model.hcs_sampling=lowest_cosine_prob",
+        "++train.swad=True",
+        "++train.swa_start=1",
+    ]
+    # reference run: 3 epochs x 3 batches, no interruption
+    ta = Trainer(_cfg(tmp_path / "a", extra=hcs_swad))
+    ta.train()
+
+    # preempted run: SIGTERM lands after the 5th optimizer step
+    # (epoch 2, batch 1), so batch index 2 of epoch 2 never runs
+    tb = Trainer(_cfg(tmp_path / "b", extra=hcs_swad))
+    orig = Trainer._train_one_batch_regular
+    calls = {"n": 0}
+
+    def batch_then_trigger(self, batch):
+        out = orig(self, batch)
+        calls["n"] += 1
+        if calls["n"] == 5:
+            self._preempt_guard.trigger()
+        return out
+
+    monkeypatch.setattr(Trainer, "_train_one_batch_regular", batch_then_trigger)
+    tb.train()
+    monkeypatch.setattr(Trainer, "_train_one_batch_regular", orig)
+    assert int(tb.state.step) == 5
+
+    # resume re-enters epoch 2 at batch 2 and finishes epochs 2-3
+    tb2 = Trainer(_cfg(tmp_path / "b", extra=hcs_swad))
+    assert tb2.start_epoch == 2
+    assert tb2._resume_start_batch == 2
+    assert tb2.swa_params is not None and tb2.swa_n == tb.swa_n > 0
+    assert tb2.host_rng.bit_generator.state == tb.host_rng.bit_generator.state
+    tb2.train()
+
+    assert int(tb2.state.step) == int(ta.state.step) == 9
+    # final params identical (both runs adopted their SWA average)
+    import jax
+
+    leaves_a = jax.tree_util.tree_leaves(ta.state.params)
+    leaves_b = jax.tree_util.tree_leaves(tb2.state.params)
+    for la, lb in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    # channel-usage counters carried across the preemption
+    assert sum(tb2.channel_counter.values()) == sum(ta.channel_counter.values())
+    assert not os.path.isdir(tb2.preempt_dir)  # cleared on clean finish
+
+
+def test_preempt_mid_epoch_opt_out_drops_partial_epoch(tmp_path, monkeypatch):
     cfg = _cfg(tmp_path)
     t1 = Trainer(cfg)
 
@@ -111,9 +166,11 @@ def test_preempt_mid_epoch_drops_partial_epoch(tmp_path, monkeypatch):
     monkeypatch.setattr(Trainer, "_train_one_batch_regular", batch_then_trigger)
     t1.train()
 
-    # epoch 1 never completed -> saved as "0 epochs done", re-run from 1
-    t2 = Trainer(_cfg(tmp_path))
+    # ++train.resume_mid_epoch=False: epoch 1 never completed -> saved as
+    # "0 epochs done", re-run from scratch
+    t2 = Trainer(_cfg(tmp_path, extra=["++train.resume_mid_epoch=False"]))
     assert t2.start_epoch == 1
+    assert t2._resume_start_batch == 0
     # but the optimizer step taken before the SIGTERM is not lost
     assert int(t2.state.step) == int(t1.state.step) >= 1
 
