@@ -208,6 +208,9 @@ SECTION_DEFAULTS = {
         "num_gpus": 1,
         # TPU mesh axes: -1 means "all remaining devices"
         "mesh": {"data": -1, "model": 1},
+        # ZeRO-1: shard the Adam moments 1/N over the data axis
+        # (parallel/zero.py) — bit-identical numerics, 2P -> 2P/N moment HBM
+        "zero1": False,
     },
     "attn_pooling": {
         "max_num_channels": None,

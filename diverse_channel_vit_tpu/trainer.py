@@ -145,6 +145,12 @@ class Trainer:
             )
         else:
             set_tp_attention(None)
+        # ZeRO-1 optimizer-state sharding over the data axis
+        # (parallel/zero.py); a no-op without a >1 data axis
+        self.zero1 = (
+            bool(cfg.hardware.get("zero1", False))
+            and dict(self.mesh.shape).get("data", 1) > 1
+        )
 
         # -- chunk -> channel-id mapper (trainer.py:128-150) ---------------
         self.all_chunks = []
@@ -369,6 +375,12 @@ class Trainer:
                     params=shard_params(self.state.params, self.mesh),
                     opt_state=shard_params(self.state.opt_state, self.mesh),
                 )
+            if self.zero1:
+                from .parallel.zero import apply_zero1
+
+                self.state = self.state.replace(
+                    opt_state=apply_zero1(self.state.opt_state, self.mesh)
+                )
         self.logger.info(f"model {cfg.model.name}: {param_count(self.state.params):,} params, "
                          f"{self.n_devices} devices, dtype {dtype_name}")
         self.miro_pre_params = None
@@ -385,11 +397,13 @@ class Trainer:
             params = dict(self.state.params)
             params[MIRO_KEY] = encoders
             self.state = self.state.replace(params=params, opt_state=self.tx.init(params))
+            if self.n_devices > 1:
+                self._place_state_on_mesh()  # fresh opt state: re-place (+ zero1)
 
         # -- step caches -----------------------------------------------------
         self._train_steps: Dict = {}
         self._grad_steps: Dict = {}
-        self._apply_step = make_apply_step()
+        self._apply_step = make_apply_step(mesh=self.mesh, zero1=self.zero1)
         self._eval_steps: Dict = {}
 
         # -- checkpoints -------------------------------------------------------
@@ -477,6 +491,10 @@ class Trainer:
         else:
             params = shard_params(self.state.params, self.mesh)
             opt_state = shard_params(self.state.opt_state, self.mesh)
+        if self.zero1:
+            from .parallel.zero import apply_zero1
+
+            opt_state = apply_zero1(opt_state, self.mesh)
         aux = shard_params(
             {"step": self.state.step, "base_rng": self.state.base_rng}, self.mesh
         )
@@ -565,6 +583,7 @@ class Trainer:
                 donate=bool(self.cfg.train.get("donate_state", True)),
                 mesh=self.mesh,
                 feature_fn=self._hcs_feature_fn(),
+                zero1=self.zero1,
             )
         return self._train_steps[key]
 

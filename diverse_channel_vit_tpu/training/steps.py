@@ -243,6 +243,7 @@ def make_train_step(
     donate: bool = True,
     mesh=None,
     feature_fn: Optional[Callable] = None,
+    zero1: bool = False,
 ) -> Callable[[TrainState, Dict[str, jax.Array], jax.Array], Tuple[TrainState, Dict]]:
     """Fused grad + optimizer update for a single-chunk batch.
 
@@ -250,7 +251,12 @@ def make_train_step(
     pipeline (ops/augment.py) inside the compiled step. With a ``mesh``
     whose ``data`` axis is >1, the grad computation runs per data shard
     under ``shard_map`` (see :func:`_shard_map_grads`); dropout/augment RNG
-    folds the shard index, the channel draw stays globally shared."""
+    folds the shard index, the channel draw stays globally shared.
+
+    ``zero1``: pin the updated optimizer state to its ZeRO-1 shardings
+    (``parallel/zero.py``) — each data shard owns 1/N of the Adam moments;
+    XLA computes the elementwise update shard-local and all-gathers only
+    the parameter delta. Bit-identical numerics, 2P -> 2P/N moment HBM."""
     cids_const = jnp.asarray(tuple(channel_ids), jnp.int32)
     sharded = _data_sharded(mesh)
     axis = "data" if sharded else None
@@ -301,11 +307,18 @@ def make_train_step(
         return grads, metrics
 
     gm = _shard_map_grads(grads_and_metrics, mesh) if sharded else grads_and_metrics
+    zero1 = zero1 and sharded
 
     def step(state: TrainState, batch, rng):
         grads, metrics = gm(state.params, batch, rng)
         metrics["grad_norm"] = optax.global_norm(grads)
         new_state = state.apply_gradients(grads=grads)
+        if zero1:
+            from ..parallel.zero import constrain_zero1
+
+            new_state = new_state.replace(
+                opt_state=constrain_zero1(new_state.opt_state, mesh)
+            )
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -391,12 +404,22 @@ def make_grad_step(
     return jax.jit(grad_step)
 
 
-def make_apply_step(donate: bool = True):
-    """Apply accumulated grads to the state (one optimizer update)."""
+def make_apply_step(donate: bool = True, mesh=None, zero1: bool = False):
+    """Apply accumulated grads to the state (one optimizer update).
+
+    ``zero1`` (with a data-sharded ``mesh``): keep the updated Adam moments
+    in their ZeRO-1 layout — see :func:`make_train_step`."""
+    zero1 = zero1 and _data_sharded(mesh)
 
     def apply_step(state: TrainState, grads):
         norm = optax.global_norm(grads)
         new_state = state.apply_gradients(grads=grads)
+        if zero1:
+            from ..parallel.zero import constrain_zero1
+
+            new_state = new_state.replace(
+                opt_state=constrain_zero1(new_state.opt_state, mesh)
+            )
         return new_state, norm
 
     return jax.jit(apply_step, donate_argnums=(0,) if donate else ())
