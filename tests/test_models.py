@@ -37,6 +37,21 @@ class TestRegistry:
         with pytest.raises(KeyError):
             build_model("nope", None, {}, 1, jnp.float32)
 
+    def test_placeholder_in_channel_names_raises(self):
+        # len("FILL_LATER") would silently size the channel tables to 10
+        cfg = tiny_cfg()
+        cfg.in_channel_names = "FILL_LATER"
+        with pytest.raises(ValueError, match="placeholder"):
+            build_model(cfg.name, cfg, MAPPER, 4, jnp.float32)
+
+    def test_mapper_id_overflow_raises(self):
+        # mapper ids beyond the table would hit jnp.take's NaN fill at run
+        # time; build_model fails loudly instead (the Trainer checks too,
+        # trainer.py:205-214, but scripts call build_model directly)
+        cfg = tiny_cfg()  # 6 in_channel_names
+        with pytest.raises(ValueError, match="out of range"):
+            build_model(cfg.name, cfg, {"train": [0, 1, 11]}, 4, jnp.float32)
+
 
 class TestChannelViT:
     def test_forward_shapes(self):
