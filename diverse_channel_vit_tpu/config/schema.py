@@ -206,7 +206,10 @@ SECTION_DEFAULTS = {
         "device": "tpu",
         "multi_gpus": None,  # parity key: None/ddp/DataParallel all map to mesh data-parallel
         "num_gpus": 1,
-        # TPU mesh axes: -1 means "all remaining devices"
+        # TPU mesh axes: -1 means "all remaining devices". Optional extra
+        # axes: expert (per-channel table sharding), seq (ring attention),
+        # pipe (GPipe), dcn (multi-slice: dp spans ("dcn","data"), ZeRO-1
+        # stays intra-slice — parallel/mesh.py:dp_axes)
         "mesh": {"data": -1, "model": 1},
         # ZeRO-1: shard the Adam moments 1/N over the data axis
         # (parallel/zero.py) — bit-identical numerics, 2P -> 2P/N moment HBM

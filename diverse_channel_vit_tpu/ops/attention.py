@@ -82,16 +82,17 @@ def tp_degree(num_heads: int) -> int:
 
 
 def _wrap_axes() -> tuple:
-    """Every non-``data`` mesh axis of size >1: the kernel must be manual
-    over ALL of them (Mosaic refuses GSPMD propagation even for axes the
-    activations are replicated over, e.g. an ``expert`` axis sharding only
-    the per-channel parameter tables). ``model`` shards heads when
-    divisible; the rest replicate."""
+    """Every non-data-parallel mesh axis of size >1: the kernel must be
+    manual over ALL of them (Mosaic refuses GSPMD propagation even for axes
+    the activations are replicated over, e.g. an ``expert`` axis sharding
+    only the per-channel parameter tables). ``model`` shards heads when
+    divisible; the rest replicate. ``data``/``dcn`` are the outer
+    data-parallel axes, already manual in the step's own shard_map."""
     mesh = _TP_STATE["mesh"]
     if mesh is None:
         return ()
     return tuple(ax for ax, sz in dict(mesh.shape).items()
-                 if ax != "data" and sz > 1)
+                 if ax not in ("data", "dcn") and sz > 1)
 
 
 def _tp_mesh():

@@ -9,6 +9,8 @@ reserved for tensor parallelism of larger variants).
 
 from .mesh import (
     batch_sharding,
+    dp_axes,
+    dp_size,
     make_mesh,
     replicated_sharding,
     shard_batch,
@@ -25,6 +27,8 @@ __all__ = [
     "zero1_opt_shardings",
     "make_mesh",
     "batch_sharding",
+    "dp_axes",
+    "dp_size",
     "replicated_sharding",
     "shard_batch",
     "shard_params",

@@ -30,9 +30,23 @@ def make_mesh(
 
     Default is a 1-D data mesh over every visible device — the TPU
     equivalent of DDP over all local GPUs (``main.py:17-20``).
+
+    A ``dcn`` axis (``++hardware.mesh.dcn=N``) marks the slow inter-slice
+    network: data parallelism then spans ``("dcn", "data")`` jointly while
+    ZeRO-1 moment sharding stays confined to the intra-slice ``data`` axis
+    (parallel/zero.py), so the parameter-delta gather rides ICI and only
+    the gradient all-reduce crosses DCN. ``dcn`` is forced to be the
+    OUTERMOST (slowest-varying) mesh dim: ``jax.devices()`` orders devices
+    process-major, so outermost splits land on process/slice boundaries;
+    on real multi-slice hardware devices are additionally sorted by
+    ``slice_index`` first.
     """
     devices = list(devices if devices is not None else jax.devices())
     mesh_cfg = dict(mesh_cfg or {"data": -1, "model": 1})
+    if "dcn" in mesh_cfg:
+        if any(getattr(d, "slice_index", None) is not None for d in devices):
+            devices.sort(key=lambda d: (getattr(d, "slice_index", 0) or 0, d.id))
+        mesh_cfg = {"dcn": mesh_cfg["dcn"], **{k: v for k, v in mesh_cfg.items() if k != "dcn"}}
     n = len(devices)
     fixed = 1
     wildcard_axis = None
@@ -57,16 +71,33 @@ def make_mesh(
     return Mesh(dev_array, tuple(mesh_cfg.keys()))
 
 
-def batch_sharding(mesh: Mesh, *, axis: str = "data") -> NamedSharding:
-    """Leading-dim (batch) sharding over the data axis."""
-    return NamedSharding(mesh, P(axis))
+def dp_axes(mesh: Optional[Mesh]):
+    """The data-parallel axis name(s): ``("dcn", "data")`` when a >1 DCN
+    axis exists (multi-slice), else ``"data"``. Every shard_map/pmean that
+    implements data parallelism takes its axis argument from here."""
+    if mesh is not None and dict(mesh.shape).get("dcn", 1) > 1:
+        return ("dcn", "data")
+    return "data"
+
+
+def dp_size(mesh: Optional[Mesh]) -> int:
+    """Total data-parallel shard count (dcn × data)."""
+    if mesh is None:
+        return 1
+    shape = dict(mesh.shape)
+    return int(shape.get("dcn", 1)) * int(shape.get("data", 1))
+
+
+def batch_sharding(mesh: Mesh, *, axis=None) -> NamedSharding:
+    """Leading-dim (batch) sharding over the data-parallel axes."""
+    return NamedSharding(mesh, P(axis if axis is not None else dp_axes(mesh)))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh, *, axis: str = "data") -> Any:
+def shard_batch(batch: Any, mesh: Mesh, *, axis=None) -> Any:
     """Place a host batch pytree on the mesh, sharded along dim 0.
 
     Scalars / rank-0 leaves are replicated (e.g. per-batch PRNG keys).

@@ -126,7 +126,8 @@ class Trainer:
         set_quantization(str(cfg.model.get("quantization", "none")))
         from .ops.attention import set_tp_attention
 
-        if any(sz > 1 for ax, sz in dict(self.mesh.shape).items() if ax != "data"):
+        if any(sz > 1 for ax, sz in dict(self.mesh.shape).items()
+               if ax not in ("data", "dcn")):
             # tensor parallelism shards the dense GEMMs via GSPMD inside the
             # shard_map body, and GSPMD cannot partition Mosaic kernels.
             # The flash kernel stays on: it runs under an inner shard_map

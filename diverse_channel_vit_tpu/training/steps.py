@@ -185,13 +185,24 @@ def _loss_and_metrics(
 
 
 def _data_sharded(mesh) -> bool:
-    return mesh is not None and dict(mesh.shape).get("data", 1) > 1
+    from ..parallel.mesh import dp_size
+
+    return mesh is not None and dp_size(mesh) > 1
+
+
+def _dp_axes(mesh):
+    """Data-parallel axis name(s) for pmean/axis_index/in_specs: ``"data"``,
+    or ``("dcn", "data")`` on a multi-slice mesh (parallel/mesh.py)."""
+    from ..parallel.mesh import dp_axes
+
+    return dp_axes(mesh)
 
 
 def _manual_axes(mesh) -> frozenset:
     """Mesh axes the shard_map treats as manual.
 
-    ``data`` always (the explicit pmean axis). Size-1 axes too: an axis
+    ``data`` always (the explicit pmean axis), and ``dcn`` when present
+    (the inter-slice half of the data-parallel pmean). Size-1 axes too: an axis
     left automatic puts the body under GSPMD sharding propagation, and
     Mosaic kernels refuse auto-partitioning EVEN AT SIZE 1
     (``jax/_src/tpu_custom_call.py`` raises "Mosaic kernels cannot be
@@ -201,7 +212,8 @@ def _manual_axes(mesh) -> frozenset:
     parallel/shardings.py apply via GSPMD — Pallas ops don't run under
     real TP (the trainer selects the xla attention path there)."""
     return frozenset(
-        {"data"} | {ax for ax, sz in dict(mesh.shape).items() if sz == 1}
+        ({"data", "dcn"} & set(dict(mesh.shape)))
+        | {ax for ax, sz in dict(mesh.shape).items() if sz == 1}
     )
 
 
@@ -218,7 +230,7 @@ def _shard_map_grads(fn, mesh):
     return jax.shard_map(
         fn,
         mesh=mesh,
-        in_specs=(P(), P("data"), P()),
+        in_specs=(P(), P(_dp_axes(mesh)), P()),
         out_specs=(P(), P()),
         axis_names=_manual_axes(mesh),
         check_vma=False,
@@ -259,12 +271,12 @@ def make_train_step(
     the parameter delta. Bit-identical numerics, 2P -> 2P/N moment HBM."""
     cids_const = jnp.asarray(tuple(channel_ids), jnp.int32)
     sharded = _data_sharded(mesh)
-    axis = "data" if sharded else None
+    axis = _dp_axes(mesh) if sharded else None
 
     def grads_and_metrics(params, batch, rng):
         rng_sample, rng_drop, rng_aug = jax.random.split(rng, 3)
         if sharded:
-            ix = jax.lax.axis_index("data")
+            ix = jax.lax.axis_index(axis)  # linearized over ("dcn","data")
             rng_drop = jax.random.fold_in(rng_drop, ix)
             rng_aug = jax.random.fold_in(rng_aug, ix)
         x, y = batch["image"], batch["label"]
@@ -300,8 +312,8 @@ def make_train_step(
             # on every shard (pmean'd cosines, shared rng_sample) and
             # hcs_per_sample reports shard 0's subset
             cs_out = metrics.pop("sampled_channels", None)
-            grads = jax.lax.pmean(grads, "data")
-            metrics = jax.lax.pmean(metrics, "data")
+            grads = jax.lax.pmean(grads, axis)
+            metrics = jax.lax.pmean(metrics, axis)
             if cs_out is not None:
                 metrics["sampled_channels"] = cs_out
         return grads, metrics
@@ -352,12 +364,12 @@ def make_grad_step(
     """
     cids_const = jnp.asarray(tuple(channel_ids), jnp.int32)
     sharded = _data_sharded(mesh)
-    axis = "data" if sharded else None
+    axis = _dp_axes(mesh) if sharded else None
 
     def grads_and_metrics(params, batch, rng):
         rng_sample, rng_drop, rng_aug = jax.random.split(rng, 3)
         if sharded:
-            ix = jax.lax.axis_index("data")
+            ix = jax.lax.axis_index(axis)
             rng_drop = jax.random.fold_in(rng_drop, ix)
             rng_aug = jax.random.fold_in(rng_aug, ix)
         x, y = batch["image"], batch["label"]
@@ -390,8 +402,8 @@ def make_grad_step(
         grads, metrics = jax.grad(loss_fn, has_aux=True)(params)
         if sharded:
             cs_out = metrics.pop("sampled_channels", None)
-            grads = jax.lax.pmean(grads, "data")
-            metrics = jax.lax.pmean(metrics, "data")
+            grads = jax.lax.pmean(grads, axis)
+            metrics = jax.lax.pmean(metrics, axis)
             if cs_out is not None:
                 metrics["sampled_channels"] = cs_out
         return grads, metrics
@@ -456,12 +468,13 @@ def make_eval_step(model, *, donate: bool = False, mesh=None):
             return fwd(params, x, cids, ov)
         from jax.sharding import PartitionSpec as P
 
-        ov_spec = P("data") if (use_override and per_sample) else P()
+        dp = _dp_axes(mesh)
+        ov_spec = P(dp) if (use_override and per_sample) else P()
         return jax.shard_map(
             fwd,
             mesh=mesh,
-            in_specs=(P(), P("data"), P(), ov_spec),
-            out_specs=P("data"),
+            in_specs=(P(), P(dp), P(), ov_spec),
+            out_specs=P(dp),
             axis_names=_manual_axes(mesh),
             check_vma=False,
         )(params, x, cids, ov)

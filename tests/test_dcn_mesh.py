@@ -1,0 +1,174 @@
+"""Multi-slice (DCN) data parallelism: the ``dcn`` mesh axis.
+
+On multi-slice pods the inter-slice DCN is an order of magnitude slower
+than ICI, so the mesh distinguishes the two: data parallelism spans
+``("dcn", "data")`` jointly (parallel/mesh.py:dp_axes — XLA lowers the
+gradient all-reduce hierarchically), while ZeRO-1 moment sharding stays
+confined to the intra-slice ``data`` axis so the parameter-delta gather
+never crosses DCN (parallel/zero.py). The reference has no multi-node
+story at all (SURVEY §2.6: DDP is single-node NCCL); this is the TPU-native
+extension of its DDP role.
+
+Validated here on the virtual 8-device CPU mesh: a {dcn:2, data:4} step is
+numerically identical to both the unsharded and the flat {data:8} step, and
+the moments shard 1/4 (not 1/8).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diverse_channel_vit_tpu.parallel import (
+    apply_zero1,
+    dp_axes,
+    dp_size,
+    make_mesh,
+    shard_batch,
+    shard_params,
+)
+from diverse_channel_vit_tpu.training import create_train_state, make_optimizer
+from diverse_channel_vit_tpu.training.schedules import make_lr_schedule
+from diverse_channel_vit_tpu.training.steps import (
+    make_eval_step,
+    make_train_step,
+)
+
+C, IMG, PATCH = 4, 32, 16
+
+
+def _build(num_classes=7):
+    from diverse_channel_vit_tpu.models.channel_vit import ChannelVisionTransformer
+    from diverse_channel_vit_tpu.models.wrappers import ChannelAdaptiveClassifier
+
+    backbone = ChannelVisionTransformer(
+        num_total_channels=C, img_size=IMG, patch_size=PATCH, embed_dim=64,
+        depth=2, num_heads=2, proxy_loss_lambda=1e-3, ortho_loss_v1_lambda=1e-3,
+        attention_impl="xla",
+    )
+    return ChannelAdaptiveClassifier(backbone=backbone, embed_dim=64,
+                                     num_classes=num_classes, with_head=True)
+
+
+def _state(model):
+    lr = make_lr_schedule("cosine", 1e-3, dict(t_initial=2, warmup_t=1,
+                                               warmup_lr_init=1e-5),
+                          num_epochs=2, steps_per_epoch=2)
+    tx = make_optimizer("adamw", dict(weight_decay=0.01), lr_schedule=lr,
+                        total_steps=4)
+    x0 = jnp.zeros((2, C, IMG, IMG), jnp.float32)
+    return tx, create_train_state(model, tx, rng=jax.random.key(0),
+                                  sample_input=x0,
+                                  sample_channel_ids=jnp.arange(C))
+
+
+def _batch(mesh=None, b=16):
+    data = {
+        "image": jax.random.normal(jax.random.key(1), (b, C, IMG, IMG)),
+        "label": jnp.arange(b) % 7,
+    }
+    return shard_batch(data, mesh) if mesh is not None else data
+
+
+def test_dp_axes_and_size():
+    flat = make_mesh({"data": -1, "model": 1})
+    assert dp_axes(flat) == "data" and dp_size(flat) == 8
+    hier = make_mesh({"data": 4, "dcn": 2})
+    assert dp_axes(hier) == ("dcn", "data") and dp_size(hier) == 8
+    assert dp_axes(None) == "data" and dp_size(None) == 1
+
+
+def test_make_mesh_forces_dcn_outermost():
+    # device reshape is row-major, so the FIRST axis splits on the
+    # process/slice boundary of the jax.devices() ordering — dcn must be
+    # first regardless of config order
+    mesh = make_mesh({"data": 4, "dcn": 2})
+    assert mesh.axis_names[0] == "dcn"
+    assert dict(mesh.shape) == {"dcn": 2, "data": 4}
+
+
+def test_dcn_train_step_matches_unsharded_and_flat_dp():
+    model = _build()
+    kwargs = dict(channel_ids=range(C), k=2, hcs_method="lowest_cosine_prob",
+                  hcs_temp=0.5, patch_size=PATCH, loss_type="ce",
+                  extra_loss_lambda=1.0, donate=False)
+    _, s0 = _state(model)
+
+    step_ref = make_train_step(model, **kwargs)
+    s1, m1 = step_ref(s0, _batch(), jax.random.key(3))
+
+    flat = make_mesh({"data": 8})
+    _, sf = _state(model)
+    sf = sf.replace(params=shard_params(sf.params, flat))
+    s2, m2 = make_train_step(model, mesh=flat, **kwargs)(
+        sf, _batch(flat), jax.random.key(3))
+
+    hier = make_mesh({"dcn": 2, "data": 4})
+    _, sh = _state(model)
+    sh = sh.replace(params=shard_params(sh.params, hier))
+    s3, m3 = make_train_step(model, mesh=hier, **kwargs)(
+        sh, _batch(hier), jax.random.key(3))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m3["loss"]), rtol=1e-5)
+    # the linearized ("dcn","data") shard index reproduces the flat {data:8}
+    # rng folds exactly — identical math, different collective topology
+    np.testing.assert_allclose(float(m2["loss"]), float(m3["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s2.params),
+                    jax.tree_util.tree_leaves(s3.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s3.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_dcn_zero1_moments_shard_intra_slice_only():
+    model = _build()
+    hier = make_mesh({"dcn": 2, "data": 4})
+    tx, st = _state(model)
+    st = st.replace(params=shard_params(st.params, hier),
+                    opt_state=apply_zero1(tx.init(st.params), hier))
+    step = make_train_step(model, channel_ids=range(C), k=2,
+                           hcs_method="lowest_cosine_prob", hcs_temp=0.5,
+                           patch_size=PATCH, loss_type="ce",
+                           extra_loss_lambda=1.0, donate=False,
+                           mesh=hier, zero1=True)
+    st2, _ = step(st, _batch(hier), jax.random.key(3))
+    mu = [l for l in jax.tree_util.tree_leaves(st2.opt_state)
+          if hasattr(l, "ndim") and l.ndim >= 1 and l.size >= 8]
+    assert mu, "no moment leaves found"
+    intra_sharded = [l for l in mu
+                     if l.addressable_shards[0].data.size == l.size // 4]
+    assert intra_sharded, "moments not sharded 1/data"
+    # and the sharding spec never touches the dcn axis: the delta gather
+    # stays on ICI
+    for l in mu:
+        spec_axes = {ax for part in l.sharding.spec if part
+                     for ax in (part if isinstance(part, tuple) else (part,))}
+        assert "dcn" not in spec_axes, l.sharding
+
+    # numerics identical to the replicated-optimizer hierarchical run
+    _, sr = _state(model)
+    sr = sr.replace(params=shard_params(sr.params, hier))
+    step_r = make_train_step(model, channel_ids=range(C), k=2,
+                             hcs_method="lowest_cosine_prob", hcs_temp=0.5,
+                             patch_size=PATCH, loss_type="ce",
+                             extra_loss_lambda=1.0, donate=False, mesh=hier)
+    sr2, _ = step_r(sr, _batch(hier), jax.random.key(3))
+    for a, b in zip(jax.tree_util.tree_leaves(sr2.params),
+                    jax.tree_util.tree_leaves(st2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
+
+
+def test_dcn_eval_step_matches_unsharded():
+    model = _build()
+    _, st = _state(model)
+    x = _batch()["image"]
+    want = make_eval_step(model)(st.params, x, jnp.arange(C))
+    hier = make_mesh({"dcn": 2, "data": 4})
+    got = make_eval_step(model, mesh=hier)(
+        shard_params(st.params, hier),
+        shard_batch({"x": x}, hier)["x"], jnp.arange(C))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
