@@ -161,6 +161,74 @@ def test_dcn_zero1_moments_shard_intra_slice_only():
                                    atol=1e-6, rtol=1e-6)
 
 
+def test_dcn_zero1_collective_contract():
+    """Steady-state HLO of the {dcn:2, data:4} ZeRO-1 step: the ONLY
+    collective whose replica groups cross the slice boundary is the
+    gradient all-reduce (≈1x parameter bytes — the data-parallel minimum);
+    the parameter re-gathers all run in intra-slice groups ({0-3},{4-7}),
+    i.e. on ICI. Steady state = second executable: params/moments enter
+    1/data-sharded, as the first step leaves them."""
+    import re
+
+    tx, st = _state(_build())
+    model = _build()
+    hier = make_mesh({"dcn": 2, "data": 4})
+    st = st.replace(params=shard_params(st.params, hier),
+                    opt_state=apply_zero1(tx.init(st.params), hier))
+    step = make_train_step(model, channel_ids=range(C), k=None,
+                           loss_type="ce", extra_loss_lambda=1.0,
+                           donate=False, mesh=hier, zero1=True)
+    st1, _ = step(st, _batch(hier), jax.random.key(3))
+    compiled = step.trace(st1, _batch(hier), jax.random.key(4)).lower().compile()
+
+    def group_sets(line):
+        """Parse replica_groups into a list of device-id sets."""
+        m = re.search(r"replica_groups=\{(\{[^=]*?\})\}", line)
+        if m:
+            return [set(int(i) for i in g.split(",") if i)
+                    for g in re.findall(r"\{([\d,]*)\}", m.group(1))]
+        m = re.search(r"replica_groups=\[(\d+),(\d+)\]<=\[(\d+)\](T\([\d,]+\))?",
+                      line)
+        if m:
+            ng, sz, n, transp = int(m.group(1)), int(m.group(2)), int(m.group(3)), m.group(4)
+            ids = list(range(n))
+            if transp:  # transposed iota interleaves ids across groups
+                dims = [int(d) for d in re.findall(r"\d+", transp)]
+                import numpy as _np
+                ids = list(_np.arange(n).reshape(-1)[
+                    _np.arange(n).reshape([ng, sz]).transpose(dims).reshape(-1)])
+            return [set(ids[i * sz:(i + 1) * sz]) for i in range(ng)]
+        return None
+
+    slice0 = set(range(4))
+    pat = re.compile(r"(all-reduce|all-gather|reduce-scatter|all-to-all|"
+                     r"collective-permute)\(")
+    cross_bytes = intra_gathers = 0
+    for line in compiled.as_text().splitlines():
+        if not pat.search(line) or "replica_groups" not in line:
+            continue
+        groups = group_sets(line)
+        assert groups, f"unparsed replica_groups: {line[:120]}"
+        crosses = any(g - slice0 and g & slice0 for g in groups)
+        lhs = line.split(" = ", 1)[0] if " = " not in line else line.split(" = ", 1)[1]
+        lhs = lhs.split("all-", 1)[0].split("reduce-", 1)[0].split("collective-", 1)[0]
+        nbytes = sum(
+            4 * int(np.prod([int(d) for d in shp.split(",") if d] or [1]))
+            for shp in re.findall(r"f32\[([\d,]*)\]", lhs)
+        )
+        if crosses:
+            cross_bytes += nbytes
+            assert "all-reduce" in line, (
+                f"non-all-reduce collective crosses DCN: {line[:120]}")
+        elif "all-gather" in line:
+            intra_gathers += 1
+    param_bytes = sum(int(np.prod(x.shape)) * 4
+                      for x in jax.tree_util.tree_leaves(st.params))
+    assert param_bytes * 0.9 <= cross_bytes <= param_bytes * 1.3, (
+        cross_bytes, param_bytes)
+    assert intra_gathers > 0, "expected intra-slice parameter re-gathers"
+
+
 def test_dcn_eval_step_matches_unsharded():
     model = _build()
     _, st = _state(model)
