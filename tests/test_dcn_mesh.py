@@ -229,6 +229,45 @@ def test_dcn_zero1_collective_contract():
     assert intra_gathers > 0, "expected intra-slice parameter re-gathers"
 
 
+def test_trainer_wires_dcn_axis(tmp_path):
+    """`++hardware.mesh.dcn=2` through the config surface: the Trainer
+    builds the hierarchical mesh (dcn forced outermost), batches shard over
+    ("dcn","data"), ZeRO-1 stays intra-slice, and a real epoch trains +
+    evals with zero1 on."""
+    from diverse_channel_vit_tpu.config import load_config
+    from diverse_channel_vit_tpu.trainer import Trainer
+
+    cfg = load_config(
+        "synthetic_cfg",
+        [
+            "train.num_epochs=1",
+            "train.batch_size=16",
+            "dataset.num_train_samples=32",
+            "dataset.num_eval_samples=16",
+            f"train.checkpoints={tmp_path}/ckpt",
+            "hardware.num_workers=0",
+            "model.attention_impl=xla",
+            "hardware.mesh.data=4",
+            "hardware.mesh.model=1",
+            "++hardware.mesh.dcn=2",
+            "++hardware.zero1=True",
+        ],
+    )
+    t = Trainer(cfg)
+    assert t.mesh.axis_names[0] == "dcn"
+    assert dict(t.mesh.shape) == {"dcn": 2, "data": 4, "model": 1}
+    assert t.zero1
+    best = t.train()
+    assert np.isfinite(best)
+    mu = [l for l in jax.tree_util.tree_leaves(t.state.opt_state)
+          if hasattr(l, "ndim") and l.ndim >= 1 and l.size >= 8]
+    assert any(l.addressable_shards[0].data.size == l.size // 4 for l in mu)
+    for l in mu:
+        spec_axes = {ax for part in l.sharding.spec if part
+                     for ax in (part if isinstance(part, tuple) else (part,))}
+        assert "dcn" not in spec_axes
+
+
 def test_dcn_eval_step_matches_unsharded():
     model = _build()
     _, st = _state(model)
