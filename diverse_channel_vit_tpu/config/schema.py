@@ -214,6 +214,10 @@ SECTION_DEFAULTS = {
         # ZeRO-1: shard the Adam moments 1/N over the data axis
         # (parallel/zero.py) — bit-identical numerics, 2P -> 2P/N moment HBM
         "zero1": False,
+        # ZeRO-3: additionally shard the params 1/N (implies zero1); one
+        # parameter all-gather per step at shard_map entry, update stays
+        # shard-local — persistent state (P + 2P) -> (P + 2P)/N
+        "zero3": False,
     },
     "attn_pooling": {
         "max_num_channels": None,

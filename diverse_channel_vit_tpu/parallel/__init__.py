@@ -19,12 +19,22 @@ from .mesh import (
 from .pipeline import pipeline_apply
 from .sequence import seq_parallel_apply
 from .shardings import apply_param_shardings, param_shardings
-from .zero import apply_zero1, constrain_zero1, zero1_opt_shardings
+from .zero import (
+    apply_zero1,
+    apply_zero3,
+    constrain_zero1,
+    constrain_zero3,
+    zero1_opt_shardings,
+    zero3_param_shardings,
+)
 
 __all__ = [
     "apply_zero1",
+    "apply_zero3",
     "constrain_zero1",
+    "constrain_zero3",
     "zero1_opt_shardings",
+    "zero3_param_shardings",
     "make_mesh",
     "batch_sharding",
     "dp_axes",

@@ -27,6 +27,18 @@ Composes with tensor/expert parallelism: leaves the TP/EP rules of
 ``parallel/shardings.py`` already split keep their sharding; ZeRO-1 only
 claims leaves that would otherwise replicate. Opt-in:
 ``++hardware.zero1=True`` (requires a >1 ``data`` axis).
+
+ZeRO-3 (``++hardware.zero3=True``) extends the same mechanism to the
+*parameters*: persistent HBM drops from P + 2P to (P + 2P)/N per chip
+(zero3 implies the zero1 moment sharding). The train step's shard_map
+takes params with ``in_specs=P()`` (replicated per shard —
+``training/steps.py:_shard_map_grads``), so XLA materialises exactly one
+parameter all-gather at step entry; the optimizer update itself stays
+shard-local (sharded moments × sliced grads → sharded delta → sharded
+params), which is precisely the ZeRO-3 communication schedule
+(gather-for-forward, no gather-for-update). On a multi-slice ``dcn`` mesh
+both stages shard over the intra-slice ``data`` axis only, so the
+parameter gather rides ICI and only the gradient all-reduce crosses DCN.
 """
 
 from __future__ import annotations
@@ -97,4 +109,34 @@ def constrain_zero1(opt_state: Any, mesh: Mesh, *, axis: str = "data") -> Any:
     shardings = zero1_opt_shardings(opt_state, mesh, axis=axis)
     return jax.tree_util.tree_map(
         jax.lax.with_sharding_constraint, opt_state, shardings
+    )
+
+
+# -- ZeRO-3: the same spec machinery applied to the parameter tree --------
+# (params and Adam moments share leaf shapes and the TP/EP path regexes, so
+# the sharding rules are literally identical — only the placement targets
+# and the step-level constraint sites differ)
+
+
+def zero3_param_shardings(
+    params: Any, mesh: Mesh, *, axis: str = "data", base: Optional[Any] = None
+) -> Any:
+    """NamedSharding tree for the *parameters* under ZeRO-3."""
+    return zero1_opt_shardings(params, mesh, axis=axis, base=base)
+
+
+def apply_zero3(params: Any, mesh: Mesh, *, axis: str = "data",
+                base: Optional[Any] = None) -> Any:
+    """Place a parameter pytree with its ZeRO-3 shardings (1/N per chip)."""
+    shardings = zero3_param_shardings(params, mesh, axis=axis, base=base)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+def constrain_zero3(params: Any, mesh: Mesh, *, axis: str = "data") -> Any:
+    """Pin traced updated params to their ZeRO-3 layout inside the jitted
+    step, so the post-update parameters leave the step sharded and the only
+    full-parameter materialisation is the forward gather."""
+    shardings = zero3_param_shardings(params, mesh, axis=axis)
+    return jax.tree_util.tree_map(
+        jax.lax.with_sharding_constraint, params, shardings
     )

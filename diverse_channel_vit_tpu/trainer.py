@@ -147,11 +147,14 @@ class Trainer:
         else:
             set_tp_attention(None)
         # ZeRO-1 optimizer-state sharding over the data axis
-        # (parallel/zero.py); a no-op without a >1 data axis
+        # (parallel/zero.py); a no-op without a >1 data axis. ZeRO-3 adds
+        # parameter sharding (persistent state -> (P+2P)/N) and implies the
+        # zero1 moment sharding.
+        data_gt1 = dict(self.mesh.shape).get("data", 1) > 1
+        self.zero3 = bool(cfg.hardware.get("zero3", False)) and data_gt1
         self.zero1 = (
-            bool(cfg.hardware.get("zero1", False))
-            and dict(self.mesh.shape).get("data", 1) > 1
-        )
+            bool(cfg.hardware.get("zero1", False)) or self.zero3
+        ) and data_gt1
 
         # -- chunk -> channel-id mapper (trainer.py:128-150) ---------------
         self.all_chunks = []
@@ -376,6 +379,12 @@ class Trainer:
                     params=shard_params(self.state.params, self.mesh),
                     opt_state=shard_params(self.state.opt_state, self.mesh),
                 )
+            if self.zero3:
+                from .parallel.zero import apply_zero3
+
+                self.state = self.state.replace(
+                    params=apply_zero3(self.state.params, self.mesh)
+                )
             if self.zero1:
                 from .parallel.zero import apply_zero1
 
@@ -392,6 +401,10 @@ class Trainer:
             # Deep copy: the live state's buffers get donated by the train
             # step, which would invalidate an aliased snapshot.
             self.miro_pre_params = jax.tree_util.tree_map(jnp.copy, self.state.params)
+            if self.n_devices > 1:
+                # shard_map closure captures must be replicated over the
+                # manual data axis (params may be zero3-sharded by now)
+                self.miro_pre_params = shard_params(self.miro_pre_params, self.mesh)
             # per-tap VarianceEncoder biases (get_shapes equivalent), stored
             # beside the model tree so they checkpoint/optimize uniformly
             encoders = init_encoders(self.model, self.state.params, sample, jnp.asarray(cids0))
@@ -404,7 +417,8 @@ class Trainer:
         # -- step caches -----------------------------------------------------
         self._train_steps: Dict = {}
         self._grad_steps: Dict = {}
-        self._apply_step = make_apply_step(mesh=self.mesh, zero1=self.zero1)
+        self._apply_step = make_apply_step(mesh=self.mesh, zero1=self.zero1,
+                                           zero3=self.zero3)
         self._eval_steps: Dict = {}
 
         # -- checkpoints -------------------------------------------------------
@@ -492,6 +506,10 @@ class Trainer:
         else:
             params = shard_params(self.state.params, self.mesh)
             opt_state = shard_params(self.state.opt_state, self.mesh)
+        if self.zero3:
+            from .parallel.zero import apply_zero3
+
+            params = apply_zero3(params, self.mesh)
         if self.zero1:
             from .parallel.zero import apply_zero1
 
@@ -585,6 +603,7 @@ class Trainer:
                 mesh=self.mesh,
                 feature_fn=self._hcs_feature_fn(),
                 zero1=self.zero1,
+                zero3=self.zero3,
             )
         return self._train_steps[key]
 

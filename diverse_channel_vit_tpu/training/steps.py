@@ -256,6 +256,7 @@ def make_train_step(
     mesh=None,
     feature_fn: Optional[Callable] = None,
     zero1: bool = False,
+    zero3: bool = False,
 ) -> Callable[[TrainState, Dict[str, jax.Array], jax.Array], Tuple[TrainState, Dict]]:
     """Fused grad + optimizer update for a single-chunk batch.
 
@@ -268,7 +269,12 @@ def make_train_step(
     ``zero1``: pin the updated optimizer state to its ZeRO-1 shardings
     (``parallel/zero.py``) — each data shard owns 1/N of the Adam moments;
     XLA computes the elementwise update shard-local and all-gathers only
-    the parameter delta. Bit-identical numerics, 2P -> 2P/N moment HBM."""
+    the parameter delta. Bit-identical numerics, 2P -> 2P/N moment HBM.
+
+    ``zero3``: additionally keep the *parameters* sharded 1/N (implies the
+    zero1 moment constraint); the shard_map's replicated ``in_specs``
+    materialise exactly one parameter all-gather at step entry while the
+    update stays shard-local — persistent state drops to (P + 2P)/N."""
     cids_const = jnp.asarray(tuple(channel_ids), jnp.int32)
     sharded = _data_sharded(mesh)
     axis = _dp_axes(mesh) if sharded else None
@@ -319,17 +325,22 @@ def make_train_step(
         return grads, metrics
 
     gm = _shard_map_grads(grads_and_metrics, mesh) if sharded else grads_and_metrics
-    zero1 = zero1 and sharded
+    zero3 = zero3 and sharded
+    zero1 = (zero1 or zero3) and sharded
 
     def step(state: TrainState, batch, rng):
         grads, metrics = gm(state.params, batch, rng)
         metrics["grad_norm"] = optax.global_norm(grads)
         new_state = state.apply_gradients(grads=grads)
         if zero1:
-            from ..parallel.zero import constrain_zero1
+            from ..parallel.zero import constrain_zero1, constrain_zero3
 
             new_state = new_state.replace(
-                opt_state=constrain_zero1(new_state.opt_state, mesh)
+                opt_state=constrain_zero1(new_state.opt_state, mesh),
+                **(
+                    {"params": constrain_zero3(new_state.params, mesh)}
+                    if zero3 else {}
+                ),
             )
         return new_state, metrics
 
@@ -416,21 +427,28 @@ def make_grad_step(
     return jax.jit(grad_step)
 
 
-def make_apply_step(donate: bool = True, mesh=None, zero1: bool = False):
+def make_apply_step(donate: bool = True, mesh=None, zero1: bool = False,
+                    zero3: bool = False):
     """Apply accumulated grads to the state (one optimizer update).
 
-    ``zero1`` (with a data-sharded ``mesh``): keep the updated Adam moments
-    in their ZeRO-1 layout — see :func:`make_train_step`."""
-    zero1 = zero1 and _data_sharded(mesh)
+    ``zero1`` / ``zero3`` (with a data-sharded ``mesh``): keep the updated
+    Adam moments (and under zero3 the params) in their ZeRO layout — see
+    :func:`make_train_step`."""
+    zero3 = zero3 and _data_sharded(mesh)
+    zero1 = (zero1 or zero3) and _data_sharded(mesh)
 
     def apply_step(state: TrainState, grads):
         norm = optax.global_norm(grads)
         new_state = state.apply_gradients(grads=grads)
         if zero1:
-            from ..parallel.zero import constrain_zero1
+            from ..parallel.zero import constrain_zero1, constrain_zero3
 
             new_state = new_state.replace(
-                opt_state=constrain_zero1(new_state.opt_state, mesh)
+                opt_state=constrain_zero1(new_state.opt_state, mesh),
+                **(
+                    {"params": constrain_zero3(new_state.params, mesh)}
+                    if zero3 else {}
+                ),
             )
         return new_state, norm
 
