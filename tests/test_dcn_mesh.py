@@ -279,3 +279,44 @@ def test_dcn_eval_step_matches_unsharded():
         shard_batch({"x": x}, hier)["x"], jnp.arange(C))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_dcn_zero3_params_shard_intra_slice_only():
+    """ZeRO-3 on the hierarchical mesh: the PARAM leaves shard 1/data
+    (never over dcn — the forward's parameter all-gather stays on ICI),
+    and numerics match the plain hierarchical run."""
+    from diverse_channel_vit_tpu.parallel import apply_zero3
+
+    model = _build()
+    hier = make_mesh({"dcn": 2, "data": 4})
+    tx, st = _state(model)
+    st = st.replace(params=apply_zero3(st.params, hier),
+                    opt_state=apply_zero1(tx.init(st.params), hier))
+    step = make_train_step(model, channel_ids=range(C), k=2,
+                           hcs_method="lowest_cosine_prob", hcs_temp=0.5,
+                           patch_size=PATCH, loss_type="ce",
+                           extra_loss_lambda=1.0, donate=False,
+                           mesh=hier, zero3=True)
+    st2, _ = step(st, _batch(hier), jax.random.key(3))
+    pl = [l for l in jax.tree_util.tree_leaves(st2.params)
+          if hasattr(l, "ndim") and l.ndim >= 1 and l.size >= 8]
+    assert pl, "no param leaves found"
+    intra_sharded = [l for l in pl
+                     if l.addressable_shards[0].data.size == l.size // 4]
+    assert intra_sharded, "params not sharded 1/data"
+    for l in pl:
+        spec_axes = {ax for part in l.sharding.spec if part
+                     for ax in (part if isinstance(part, tuple) else (part,))}
+        assert "dcn" not in spec_axes, l.sharding
+
+    _, sr = _state(model)
+    sr = sr.replace(params=shard_params(sr.params, hier))
+    step_r = make_train_step(model, channel_ids=range(C), k=2,
+                             hcs_method="lowest_cosine_prob", hcs_temp=0.5,
+                             patch_size=PATCH, loss_type="ce",
+                             extra_loss_lambda=1.0, donate=False, mesh=hier)
+    sr2, _ = step_r(sr, _batch(hier), jax.random.key(3))
+    for a, b in zip(jax.tree_util.tree_leaves(sr2.params),
+                    jax.tree_util.tree_leaves(st2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
