@@ -157,6 +157,13 @@ def make_optimizer(
     if clip_grad_norm:
         chain.append(optax.clip_by_global_norm(float(clip_grad_norm)))
 
+    # beyond reference: ``++optimizer.params.mu_dtype=bfloat16`` stores the
+    # first Adam moment in bf16 (optax-native) — persistent optimizer HBM
+    # 2P -> 1.5P, composes with the ZeRO shardings. Opt-in: numerics are
+    # no longer bit-identical to the f32 reference update.
+    mu_dtype = p.get("mu_dtype", None)
+    mu_dtype = jnp.dtype(mu_dtype) if mu_dtype else None
+
     if name == "sgd":
         if wd:  # torch SGD: coupled L2 into the gradient
             chain.append(optax.add_decayed_weights(wd))
@@ -168,11 +175,13 @@ def make_optimizer(
         if wd:  # torch Adam: coupled L2 into the gradient, before moments
             chain.append(optax.add_decayed_weights(wd))
         b1, b2 = p.get("betas", (0.9, 0.999))
-        chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=float(p.get("eps", 1e-8))))
+        chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=float(p.get("eps", 1e-8)),
+                                         mu_dtype=mu_dtype))
         chain.append(optax.scale_by_schedule(lambda s: -lr_schedule(s)))
     elif name == "adamw":
         b1, b2 = p.get("betas", (0.9, 0.999))
-        chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=float(p.get("eps", 1e-8))))
+        chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=float(p.get("eps", 1e-8)),
+                                         mu_dtype=mu_dtype))
         chain.append(add_scheduled_weight_decay(wd_fn))
         chain.append(optax.scale_by_schedule(lambda s: -lr_schedule(s)))
     elif name == "adamp":

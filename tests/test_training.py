@@ -262,3 +262,49 @@ def test_mesh_sharded_train_step_matches_single_device():
     w1 = np.asarray(jax.tree_util.tree_leaves(s1.params)[0])
     w2 = np.asarray(jax.tree_util.tree_leaves(s2.params)[0])
     np.testing.assert_allclose(w1, w2, rtol=2e-4, atol=1e-6)
+
+
+def test_mu_dtype_bf16_moments():
+    """`++optimizer.params.mu_dtype=bfloat16` (beyond reference): the first
+    Adam moment is stored bf16 (2P -> 1.5P optimizer HBM), nu stays f32,
+    and a few steps track the f32-moment run closely."""
+    import numpy as np
+
+    from diverse_channel_vit_tpu.training import make_optimizer
+
+    lr = lambda s: jnp.float32(1e-2)
+
+    def run(params, mu_dtype):
+        opt_params = dict(weight_decay=0.01)
+        if mu_dtype:
+            opt_params["mu_dtype"] = mu_dtype
+        tx = make_optimizer("adamw", opt_params, lr_schedule=lr, total_steps=4)
+        state = tx.init(params)
+        p = params
+        for t in range(4):
+            grads = jax.tree_util.tree_map(
+                lambda x: jnp.full_like(x, 0.1 * (t + 1)), p
+            )
+            updates, state = tx.update(grads, state, p)
+            p = optax.apply_updates(p, updates)
+        return p, state
+
+    import optax
+
+    params = {
+        "w": jnp.ones((8, 4), jnp.float32),
+        "b": jnp.zeros((4,), jnp.float32),
+    }
+    p_bf, st_bf = run(params, "bfloat16")
+    p_f32, _ = run(params, None)
+
+    mus = [l for l in jax.tree_util.tree_leaves(st_bf)
+           if hasattr(l, "dtype") and l.dtype == jnp.bfloat16]
+    assert mus, "no bf16 moment leaves found"
+    f32s = [l for l in jax.tree_util.tree_leaves(st_bf)
+            if hasattr(l, "dtype") and l.dtype == jnp.float32 and l.ndim >= 1]
+    assert f32s, "nu should stay f32"
+    for a, b in zip(jax.tree_util.tree_leaves(p_bf),
+                    jax.tree_util.tree_leaves(p_f32)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=5e-3)
