@@ -80,8 +80,13 @@ def save_stablehlo_model(
         "inputs": ["images (N,C,H,W) float32", "channel_ids (C,) int32"],
         "output": "float32 logits/embedding",
     }
+    # TPU-host exports lower the flash attention as a Mosaic custom call;
+    # whitelist it (the artifact then runs only on TPU runtimes that ship
+    # the same Mosaic version — the manifest records the platforms)
+    disabled = (jexport.DisabledSafetyCheck.custom_call("tpu_custom_call"),)
     for b in manifest["buckets"]:
-        exp = jexport.export(jax.jit(fwd), platforms=tuple(platforms))(
+        exp = jexport.export(jax.jit(fwd), platforms=tuple(platforms),
+                             disabled_checks=disabled)(
             jax.ShapeDtypeStruct((b, n_ch, *img_shape), jnp.float32),
             jax.ShapeDtypeStruct((n_ch,), jnp.int32),
         )
