@@ -182,3 +182,50 @@ def test_auto_resume_opt_out(tmp_path, monkeypatch):
     assert os.path.isdir(os.path.join(t1.preempt_dir, "model_preempt"))
     t2 = Trainer(_cfg(tmp_path, extra=["++train.auto_resume=False"]))
     assert t2.start_epoch == 1
+
+
+@pytest.mark.slow
+def test_preempt_resume_under_zero3(tmp_path, monkeypatch):
+    """Preempt + auto-resume with ZeRO-3 param sharding: the orbax restore
+    comes back committed to one device; _place_state_on_mesh must re-apply
+    the zero3 placement or the jitted step dies — and the finished run must
+    equal the uninterrupted zero3 run bit for bit."""
+    z3 = ["++hardware.zero3=True"]
+    ta = Trainer(_cfg(tmp_path / "a", extra=z3))
+    ta.train()
+
+    tb = Trainer(_cfg(tmp_path / "b", extra=z3))
+    orig = Trainer._train_one_batch_regular
+    calls = {"n": 0}
+
+    def batch_then_trigger(self, batch):
+        out = orig(self, batch)
+        calls["n"] += 1
+        if calls["n"] == 5:
+            self._preempt_guard.trigger()
+        return out
+
+    monkeypatch.setattr(Trainer, "_train_one_batch_regular", batch_then_trigger)
+    tb.train()
+    monkeypatch.setattr(Trainer, "_train_one_batch_regular", orig)
+
+    tb2 = Trainer(_cfg(tmp_path / "b", extra=z3))
+    assert tb2.zero3
+    # the resumed params live sharded again (not one-device committed)
+    import jax
+
+    n_dev = tb2.n_devices
+    assert any(
+        getattr(l, "addressable_shards", None) is not None
+        and l.addressable_shards[0].data.size == l.size // n_dev
+        for l in jax.tree_util.tree_leaves(tb2.state.params)
+        if hasattr(l, "ndim") and l.ndim >= 1 and l.size >= n_dev
+    ), "resumed params not zero3-sharded"
+    tb2.train()
+
+    assert int(tb2.state.step) == int(ta.state.step)
+    for la, lb in zip(
+        jax.tree_util.tree_leaves(ta.state.params),
+        jax.tree_util.tree_leaves(tb2.state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
