@@ -154,7 +154,10 @@ def save_reference_checkpoint(
             "config": config,
             "optimizer_params": None,
             "model_params": OrderedDict(
-                (k, torch.from_numpy(np.ascontiguousarray(v))) for k, v in sd.items()
+                # ascontiguousarray promotes 0-d to (1,) — reshape back so
+                # scalar params (logit_scale) keep the reference's own shape
+                (k, torch.from_numpy(np.ascontiguousarray(v).copy()).reshape(v.shape))
+                for k, v in sd.items()
             ),
             "scheduler_params": None,
             "scaler_params": None,

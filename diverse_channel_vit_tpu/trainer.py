@@ -351,6 +351,36 @@ class Trainer:
                 params=params, opt_state=self.tx.init(params)
             )
             self.logger.info(f"loaded pretrained ConvNeXt weights from {ckpt_path}")
+        elif ckpt_path:
+            # warm start from a reference-trained torch checkpoint
+            # (ChannelViT family): the migration counterpart of the
+            # reference's own ``_load_model`` (``trainer.py:1308-1328``).
+            # Matching leaves load; mismatched ones (e.g. a new task's
+            # proxy/head width) keep their fresh init.
+            from .models.import_torch import (load_reference_checkpoint,
+                                              merge_into_template)
+
+            imported, _ = load_reference_checkpoint(
+                ckpt_path, scan_layout=bool(cfg.model.get("scan_blocks", False))
+            )
+            params, loaded, kept = merge_into_template(
+                dict(self.state.params), imported
+            )
+            if not loaded:
+                raise ValueError(
+                    f"model.pretrained={ckpt_path}: no leaf of the torch "
+                    f"checkpoint fits model {cfg.model.name!r} — wrong "
+                    "model/geometry?"
+                )
+            self.state = self.state.replace(
+                params=params, opt_state=self.tx.init(params)
+            )
+            msg = f"imported {len(loaded)} leaves from torch checkpoint {ckpt_path}"
+            if kept:
+                msg += f"; kept fresh init for {len(kept)}: {sorted(kept)[:6]}" + (
+                    " ..." if len(kept) > 6 else ""
+                )
+            self.logger.info(msg)
         # selective training (model_utils.py:21-42 freeze helpers)
         freeze_other = bool(cfg.model.get("freeze_other", False))
         last_n = cfg.model.get("unfreeze_last_n_layers", -1)
