@@ -281,7 +281,11 @@ def load_torch_convnext_state(flax_params: dict, torch_state: dict) -> dict:
         cur = node[path[-1]]
         if tuple(cur.shape) != tuple(value.shape):
             return False
-        node[path[-1]] = jnp.asarray(value)
+        # jnp.array (copy=True), NOT asarray: the source is often a numpy
+        # VIEW of live torch parameter storage, and the CPU backend's
+        # zero-copy device_put would alias it — later in-place torch
+        # updates would then silently mutate the flax tree
+        node[path[-1]] = jnp.array(value)
         return True
 
     for tk, tv in torch_state.items():

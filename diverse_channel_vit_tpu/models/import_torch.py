@@ -59,7 +59,10 @@ def strip_module_prefix(sd: Dict[str, Any]) -> Dict[str, Any]:
 def _np(x) -> np.ndarray:
     if hasattr(x, "detach"):  # torch tensor without importing torch here
         x = x.detach().cpu().numpy()
-    return np.asarray(x, dtype=np.float32)
+    # copy=True: never return a view of live torch parameter storage (a
+    # later in-place torch update would mutate the imported tree through
+    # the CPU backend's zero-copy device_put)
+    return np.array(x, dtype=np.float32, copy=True)
 
 
 def _block_params(sd: Dict[str, Any], r: str, d_model: int) -> Dict[str, Any]:

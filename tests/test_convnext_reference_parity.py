@@ -388,3 +388,120 @@ def test_hyper_convnext_matches_reference(ref_cnx, exact_gelu):
         want = ref(torch.from_numpy(x), "Allen").numpy()
     got = _forward_ours(ours, params, x, MAPPER["Allen"])
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=2e-3)
+
+
+def test_trajectory_shared_convnext_mixed_chunks(ref_cnx, exact_gelu):
+    """Trajectory-level golden parity for the CHAMMI ConvNeXt baseline: 6
+    steps of the mixed-chunk loop (per-chunk proxy-loss backward
+    accumulation over Allen/HPA/CP + ONE AdamW update per step + global
+    clip, /root/reference/trainer.py:824-931) on SharedConvNeXt. Pins the
+    per-chunk stem sparse gradients + the full timm-trunk backward through
+    the optimizer composition — the conv counterpart of
+    tests/test_trajectory_parity.py::test_trajectory_mixed_chunk_proxy_path."""
+    import jax
+    import jax.numpy as jnp
+    import ref_stubs
+    from helper_classes.first_layer_init import FirstLayerInit
+
+    from diverse_channel_vit_tpu.models.convnext_variants import SharedConvNeXt
+    from diverse_channel_vit_tpu.models.wrappers import ChannelAdaptiveClassifier, bind_chunk
+    from diverse_channel_vit_tpu.training import create_train_state, make_optimizer
+    from diverse_channel_vit_tpu.training.steps import (
+        make_apply_step, make_grad_step, tree_add)
+
+    loss_fn = ref_stubs.load("models.loss_fn")
+
+    n_steps, batch, num_classes = 6, 4, 6
+    # lr large enough that per-step loss movement (~0.1) dominates the
+    # conv trunk's cross-framework fp32 noise floor (~1e-4 relative)
+    base_lr, clip, wd, temperature = 1e-3, 1.0, 0.01, 0.1
+    scale = float(np.sqrt(1.0 / temperature))
+
+    torch.manual_seed(21)
+    ref = ref_cnx["shared"].SharedConvNeXt(
+        _cfg(first_layer=FirstLayerInit.REINIT_AS_RANDOM))
+    torch.manual_seed(22)
+    proxies = torch.nn.Parameter(torch.randn(num_classes, 768) / 8)
+    ref.train()
+
+    rng = np.random.default_rng(33)
+    xs = {ch: rng.normal(size=(n_steps, batch, len(ids), 64, 64)).astype(np.float32) * 0.5
+          for ch, ids in MAPPER.items()}
+    ys = {ch: rng.integers(0, num_classes, size=(n_steps, batch)) for ch in MAPPER}
+
+    # ---- transplant (same scheme as the forward test above) ---------------
+    ours_bb = SharedConvNeXt(mapper=MAPPER_T, chunk="Allen", pooling="avg")
+    model = ChannelAdaptiveClassifier(backbone=ours_bb, embed_dim=768,
+                                      num_classes=num_classes, with_head=False)
+    lr_fn = lambda s: jnp.float32(base_lr)  # noqa: E731
+    tx = make_optimizer(
+        "adamw", dict(betas=[0.9, 0.999], eps=1e-8, weight_decay=wd),
+        lr_schedule=lr_fn, total_steps=n_steps, clip_grad_norm=clip,
+    )
+    state = create_train_state(
+        model, tx, rng=jax.random.key(0),
+        sample_input=jnp.zeros((1, 3, 64, 64), jnp.float32),
+        sample_channel_ids=jnp.asarray(MAPPER["Allen"]),
+    )
+    sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
+    bb_params = dict(state.params["backbone"])
+    for chunk in MAPPER:
+        w = sd[f"first_layer.{chunk}.weight"]
+        bb_params[f"stem_conv_{chunk}"] = np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+        bb_params[f"stem_bias_{chunk}"] = sd[f"first_layer.{chunk}.bias"].copy()
+    stub = _TimmConvNeXtTiny()
+    stub.stem[1] = ref.feature_extractor[0]
+    stub.stages[0] = ref.feature_extractor[1]
+    stub.stages[1] = ref.feature_extractor[2]
+    stub.stages[2].downsample = ref.feature_extractor[3]
+    stub.stages[2].blocks = nn.Sequential(*[ref.feature_extractor[4 + i] for i in range(9)])
+    stub.stages[3].downsample = ref.feature_extractor[13]
+    stub.stages[3].blocks = nn.Sequential(*[ref.feature_extractor[14 + i] for i in range(3)])
+    bb_params = _trunk_from_torch(bb_params, stub)
+    params = dict(state.params)
+    params["backbone"] = bb_params
+    params["proxies"] = proxies.detach().numpy().copy()
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    state = state.replace(params=params, opt_state=tx.init(params))
+
+    # ---- torch oracle: per-chunk backward accumulation ---------------------
+    all_params = list(ref.parameters()) + [proxies]
+    opt = torch.optim.AdamW(all_params, lr=base_lr, betas=(0.9, 0.999),
+                            eps=1e-8, weight_decay=wd)
+    ref_losses = []
+    for t in range(n_steps):
+        opt.zero_grad()
+        tot = 0.0
+        for ch in MAPPER:
+            feats = ref(torch.from_numpy(xs[ch][t]), ch)
+            loss = loss_fn.proxy_loss(proxies, feats,
+                                      torch.from_numpy(ys[ch][t]), scale)
+            loss.backward()
+            tot += float(loss)
+        torch.nn.utils.clip_grad_norm_(all_params, clip)
+        opt.step()
+        ref_losses.append(tot)
+
+    # ---- our jitted per-chunk grad steps + one apply ------------------------
+    gsteps = {
+        ch: make_grad_step(bind_chunk(model, ch), channel_ids=ids, k=None,
+                           loss_type="proxy", temperature=temperature)
+        for ch, ids in MAPPER.items()
+    }
+    apply_step = make_apply_step(donate=False)
+    our_losses = []
+    for t in range(n_steps):
+        grads, tot = None, 0.0
+        for ch in MAPPER:
+            b = {"image": jnp.asarray(xs[ch][t]), "label": jnp.asarray(ys[ch][t])}
+            g, metrics = gsteps[ch](state.params, b, jax.random.key(t))
+            grads = g if grads is None else tree_add(grads, g)
+            tot += float(metrics["loss"])
+        state, _ = apply_step(state, grads)
+        our_losses.append(tot)
+
+    # step-0 pins forward+loss at transplanted init; the curve pins
+    # grads+optimizer (per-step movement ~0.1 vs the ~1e-4 relative conv
+    # fp32 noise floor)
+    np.testing.assert_allclose(our_losses[0], ref_losses[0], rtol=5e-4)
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-3)
