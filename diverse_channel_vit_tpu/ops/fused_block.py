@@ -97,6 +97,15 @@ def _pick_bm(n: int, target: int) -> int:
     return best
 
 
+def _mlp_bm(n: int, d: int) -> int:
+    """ln_mlp row block: 832 is the measured sweep winner at d=384/768, but
+    the kernel's VMEM stack scales with bm*4d — at d=1024 (ViT-L) bm=832
+    overflows Mosaic's 100MB scoped-vmem budget (measured: 102.03M). Scale
+    the target inversely with width past the measured envelope."""
+    target = 832 if d <= 768 else max(128, (832 * 768) // d // 8 * 8)
+    return _pick_bm(n, target)
+
+
 def _pick_block_fwd(n: int) -> int:
     """Fwd q-block for the attend_project kernel: largest divisor of the
     lane-padded n within the f32 score budget, capped at 832 (block sweep:
@@ -199,7 +208,7 @@ def _ln_mlp_bwd_kernel(
 def _ln_mlp_fwd_impl(x, scale, bias, w1, b1, w2, b2, residual):
     b, n, d = x.shape
     hid = w1.shape[1]
-    bm = _pick_bm(n, 832)  # bm sweep: 832 beats 416 (5.28 vs 5.42 ms/layer f+b)
+    bm = _mlp_bm(n, d)  # bm sweep: 832 beats 416 (5.28 vs 5.42 ms/layer f+b) at d<=768
     return pl.pallas_call(
         functools.partial(_ln_mlp_fwd_kernel, residual=residual),
         grid=(b, n // bm),
@@ -230,7 +239,7 @@ def _ln_mlp_fwd_impl(x, scale, bias, w1, b1, w2, b2, residual):
 def _ln_mlp_bwd_impl(x, scale, bias, w1, b1, w2, do, residual):
     b, n, d = x.shape
     hid = w1.shape[1]
-    bm = _pick_bm(n, 832)  # bm sweep: 832 beats 416 (5.28 vs 5.42 ms/layer f+b)
+    bm = _mlp_bm(n, d)  # bm sweep: 832 beats 416 (5.28 vs 5.42 ms/layer f+b) at d<=768
     nb = n // bm
     outs = pl.pallas_call(
         functools.partial(_ln_mlp_bwd_kernel, n_blocks=b * nb, residual=residual),

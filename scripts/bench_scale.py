@@ -40,6 +40,7 @@ GEOMS = {
     "S": (384, 12, 3, 64, False),
     "B": (768, 12, 6, 64, False),
     "L": (1024, 24, 8, 64, True),
+    "L32": (1024, 24, 8, 32, False),  # no-remat comparison point
 }
 
 

@@ -505,3 +505,113 @@ def test_trajectory_shared_convnext_mixed_chunks(ref_cnx, exact_gelu):
     # fp32 noise floor)
     np.testing.assert_allclose(our_losses[0], ref_losses[0], rtol=5e-4)
     np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-3)
+
+
+def test_trajectory_depthwise_convnext_mixed_chunks(ref_cnx, exact_gelu):
+    """Trajectory parity for DepthwiseConvNeXt (the family whose forward
+    bugs round 3 caught: pooling feature order, stem 1x1 bias): 5 mixed-chunk
+    proxy-loss steps with weighted_sum_random pooling — pins the depthwise
+    bank, per-chunk patch-emb, pooling-weight and InstanceNorm gradients
+    through the composed AdamW update (depthwise_convnext.py:326-433)."""
+    import jax
+    import jax.numpy as jnp
+    import ref_stubs
+
+    from diverse_channel_vit_tpu.models.convnext_variants import DepthwiseConvNeXt
+    from diverse_channel_vit_tpu.models.wrappers import ChannelAdaptiveClassifier, bind_chunk
+    from diverse_channel_vit_tpu.training import create_train_state, make_optimizer
+    from diverse_channel_vit_tpu.training.steps import (
+        make_apply_step, make_grad_step, tree_add)
+
+    loss_fn = ref_stubs.load("models.loss_fn")
+
+    n_steps, batch, num_classes, kpc = 5, 4, 6, 8
+    base_lr, clip, wd, temperature = 1e-3, 1.0, 0.01, 0.1
+    scale = float(np.sqrt(1.0 / temperature))
+
+    torch.manual_seed(41)
+    ref = ref_cnx["depthwise"].DepthwiseConvNeXt(
+        _cfg(kernels_per_channel=kpc, pooling_channel_type="weighted_sum_random",
+             patch_size=4, sample_by_weights=False, sample_by_weights_warmup=0,
+             sample_by_weights_scale=1.0, reduce_size=True),
+        mapper=MAPPER)
+    torch.manual_seed(42)
+    proxies = torch.nn.Parameter(torch.randn(num_classes, 768) / 8)
+    ref.train()
+
+    rng = np.random.default_rng(43)
+    xs = {ch: rng.normal(size=(n_steps, batch, len(ids), 64, 64)).astype(np.float32) * 0.5
+          for ch, ids in MAPPER.items()}
+    ys = {ch: rng.integers(0, num_classes, size=(n_steps, batch)) for ch in MAPPER}
+
+    ours_bb = DepthwiseConvNeXt(
+        mapper=MAPPER_T, chunk="Allen", pooling="avg", num_total_channels=8,
+        kernels_per_channel=kpc, patch_size=4,
+        pooling_channel_type="weighted_sum_random", include_stem_norm=False)
+    model = ChannelAdaptiveClassifier(backbone=ours_bb, embed_dim=768,
+                                      num_classes=num_classes, with_head=False)
+    tx = make_optimizer(
+        "adamw", dict(betas=[0.9, 0.999], eps=1e-8, weight_decay=wd),
+        lr_schedule=lambda s: jnp.float32(base_lr), total_steps=n_steps,
+        clip_grad_norm=clip,
+    )
+    state = create_train_state(
+        model, tx, rng=jax.random.key(0),
+        sample_input=jnp.zeros((1, 3, 64, 64), jnp.float32),
+        sample_channel_ids=jnp.asarray(MAPPER["Allen"]),
+    )
+    sd = {kk: v.detach().numpy().copy() for kk, v in ref.state_dict().items()}
+    bb = dict(state.params["backbone"])
+    for chunk in MAPPER:
+        bb[f"patch_emb_{chunk}"] = sd[f"get_patch_emb.chunk_{chunk}.weight"]
+        bb[f"patch_emb_bias_{chunk}"] = sd[f"get_patch_emb.chunk_{chunk}.bias"]
+    bb["conv1depthwise_param_bank"] = sd["conv1depthwise_param_bank"]
+    bb["weighted_sum_pooling"] = sd["weighted_sum_pooling"]
+    bb["stem_conv1x1"] = {"kernel": sd["stem.0.weight"][:, :, 0, 0].T}
+    bb["stem_norm_inst"] = {"scale": sd["stem.1.weight"],
+                            "bias": sd["stem.1.bias"]}
+    bb = _trunk_from_torch(
+        bb, _rebuild_stub_from_feature_extractor(ref.feature_extractor,
+                                                 has_stem_norm=False))
+    params = dict(state.params)
+    params["backbone"] = bb
+    params["proxies"] = proxies.detach().numpy().copy()
+    params = jax.tree_util.tree_map(lambda a: jnp.array(np.asarray(a)), params)
+    state = state.replace(params=params, opt_state=tx.init(params))
+
+    all_params = list(ref.parameters()) + [proxies]
+    opt = torch.optim.AdamW(all_params, lr=base_lr, betas=(0.9, 0.999),
+                            eps=1e-8, weight_decay=wd)
+    ref_losses = []
+    for t in range(n_steps):
+        opt.zero_grad()
+        tot = 0.0
+        for ch in MAPPER:
+            feats = ref(torch.from_numpy(xs[ch][t]), ch)
+            loss = loss_fn.proxy_loss(proxies, feats,
+                                      torch.from_numpy(ys[ch][t]), scale)
+            loss.backward()
+            tot += float(loss.detach())
+        torch.nn.utils.clip_grad_norm_(all_params, clip)
+        opt.step()
+        ref_losses.append(tot)
+
+    gsteps = {
+        ch: make_grad_step(bind_chunk(model, ch), channel_ids=ids, k=None,
+                           loss_type="proxy", temperature=temperature)
+        for ch, ids in MAPPER.items()
+    }
+    apply_step = make_apply_step(donate=False)
+    our_losses = []
+    for t in range(n_steps):
+        grads, tot = None, 0.0
+        for ch in MAPPER:
+            b = {"image": jnp.asarray(xs[ch][t]), "label": jnp.asarray(ys[ch][t])}
+            g, metrics = gsteps[ch](state.params, b, jax.random.key(t))
+            grads = g if grads is None else tree_add(grads, g)
+            tot += float(metrics["loss"])
+        state, _ = apply_step(state, grads)
+        our_losses.append(tot)
+
+    np.testing.assert_allclose(our_losses[0], ref_losses[0], rtol=5e-4)
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-3)
