@@ -391,3 +391,23 @@ def test_block_fused_train_drop_path_branch():
     out_dense = blk.apply({"params": p}, x, train=True, rngs=rngs)
     fb.FORCE_ON_CPU = True
     assert _rel(out_fused, out_dense) < 3e-2
+
+
+def test_mlp_bm_vmem_envelope():
+    """ln_mlp row-block picker: bm=832 is the sweep winner up to d=768, but
+    the kernel's VMEM stack (x/h/out blocks ~ bm*(2d + 4d + ...) + both
+    weight mats) scales with bm*d — wider models must shrink bm to stay
+    under the 100MB scoped-vmem budget Mosaic is given. Pin the policy so a
+    future sweep doesn't silently regress the ViT-L fit."""
+    # measured envelope: full 832 target through ViT-S/B widths
+    assert fb._mlp_bm(1664, 384) == 832
+    assert fb._mlp_bm(1664, 768) == 832
+    # ViT-L (d=1024): bm=832 measured at 102.03M > 100M budget; the scaled
+    # target must (a) shrink, (b) stay a multiple-of-8 divisor of n
+    for n in (1664, 832, 3328):
+        for d in (1024, 1280, 1664):
+            bm = fb._mlp_bm(n, d)
+            assert n % bm == 0 and bm % 8 == 0
+            assert bm * d <= 832 * 768, (n, d, bm)
+    # tiny sequences always fit: picker degrades to a divisor of n
+    assert fb._mlp_bm(256, 1024) <= 256
