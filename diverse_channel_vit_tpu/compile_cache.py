@@ -8,9 +8,43 @@ bench.py and the driver entry points all do).
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 _DEFAULT_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+
+
+def _host_fingerprint() -> str:
+    """Stable hash of this host's CPU ISA feature set.
+
+    XLA:CPU persists AOT-compiled executables; a blob compiled for another
+    host's ISA can SIGILL when deserialized here (the ``machine feature
+    mismatch`` warnings). Keying the CPU cache dir by the flags line from
+    /proc/cpuinfo makes entries host-local."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+
+
+def _resolve_dir(base: str) -> str:
+    """Partition the cache by compile target.
+
+    CPU-platform runs (``JAX_PLATFORMS=cpu`` — tests, dryruns, CLIs) get a
+    host-fingerprinted subdir so their AOT blobs never cross host ISAs.
+    Accelerator runs keep the base dir: their serialized executables are
+    device-targeted (not host-ISA-sensitive) and the warm TPU cache there
+    saves ~8 min per cold entry point."""
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if plats.split(",")[0].strip().lower() == "cpu":
+        return os.path.join(base, f"cpu-{_host_fingerprint()}")
+    return base
 
 
 def enable(cache_dir: str = _DEFAULT_DIR) -> None:
@@ -18,6 +52,7 @@ def enable(cache_dir: str = _DEFAULT_DIR) -> None:
     import jax
 
     try:
+        cache_dir = _resolve_dir(cache_dir)
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)

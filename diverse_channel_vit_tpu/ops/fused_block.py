@@ -97,12 +97,32 @@ def _pick_bm(n: int, target: int) -> int:
     return best
 
 
+_MLP_VMEM_BUDGET = 100_000_000  # Mosaic scoped-vmem ceiling we compile with
+# Activation-stack bytes per bm*d element, calibrated from the measured
+# overflow point (bm=832, d=1024 -> 102.03M total, minus the 16d^2-byte
+# resident fc1+fc2 bf16 weight mats): (102.03e6 - 16*1024^2)/(832*1024) ~ 100.
+_MLP_ACT_BYTES_PER_ELEM = 100
+
+
+def _mlp_footprint(bm: int, d: int) -> int:
+    """Estimated ln_mlp kernel VMEM stack: row blocks (x/LN f32/h f32+bf16,
+    double-buffered) + the two resident weight mats fc1 (d,4d) + fc2 (4d,d)
+    in bf16."""
+    return _MLP_ACT_BYTES_PER_ELEM * bm * d + 16 * d * d
+
+
 def _mlp_bm(n: int, d: int) -> int:
     """ln_mlp row block: 832 is the measured sweep winner at d=384/768, but
     the kernel's VMEM stack scales with bm*4d — at d=1024 (ViT-L) bm=832
     overflows Mosaic's 100MB scoped-vmem budget (measured: 102.03M). Scale
-    the target inversely with width past the measured envelope."""
+    the target inversely with width past the measured envelope, and clamp by
+    the full footprint estimate (the resident weight mats grow as d^2, so at
+    d>~1500 the bm*d pin alone would overflow — ADVICE r3)."""
     target = 832 if d <= 768 else max(128, (832 * 768) // d // 8 * 8)
+    act_budget = _MLP_VMEM_BUDGET - 16 * d * d
+    if act_budget > 0:
+        target = min(target, max(8, act_budget // (_MLP_ACT_BYTES_PER_ELEM * d)
+                                 // 8 * 8))
     return _pick_bm(n, target)
 
 

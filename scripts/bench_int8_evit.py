@@ -35,13 +35,17 @@ def main():
 
     set_quantization("int8")
     try:
-        model, state, data, mesh = _setup(3, 64)
+        # mirror bench.py: scale the batch by device count, report per-chip
+        n_devices = len(jax.devices())
+        b = 64 * n_devices
+        model, state, data, mesh = _setup(3, b)
         model_e = model.clone(backbone=model.backbone.clone(keep_rate=keep))
 
         if flagship_too:
             flag, state = _measure(state, data, [_mk_step(model_e, None, mesh)],
-                                   64, iters=20)
-            print(f"int8+evit{keep} dh128 flagship: {flag:.1f} imgs/s", flush=True)
+                                   b, iters=20)
+            print(f"int8+evit{keep} dh128 flagship: {flag / n_devices:.1f} "
+                  "imgs/s/chip", flush=True)
 
         ks = _recipe_ks()
         steps = {k: _mk_step(model_e, k, mesh) for k in sorted(set(ks))}
@@ -50,9 +54,10 @@ def main():
             state, metrics = s(state, data, jax.random.key(9))
             _sync(metrics)
             print(f"  warmed k={k} ({time.perf_counter() - t0:.0f}s)", flush=True)
-        recipe, _ = _measure(state, data, [steps[k] for k in ks], 64,
+        recipe, _ = _measure(state, data, [steps[k] for k in ks], b,
                              iters=len(ks), warmup=0)
-        print(f"int8+evit{keep} dh128 recipe: {recipe:.1f} imgs/s", flush=True)
+        print(f"int8+evit{keep} dh128 recipe: {recipe / n_devices:.1f} "
+              "imgs/s/chip", flush=True)
     finally:
         set_quantization("none")
 

@@ -403,11 +403,17 @@ def test_mlp_bm_vmem_envelope():
     assert fb._mlp_bm(1664, 384) == 832
     assert fb._mlp_bm(1664, 768) == 832
     # ViT-L (d=1024): bm=832 measured at 102.03M > 100M budget; the scaled
-    # target must (a) shrink, (b) stay a multiple-of-8 divisor of n
+    # target must (a) shrink, (b) stay a multiple-of-8 divisor of n, and
+    # (c) keep the FULL footprint estimate — activation blocks plus the
+    # resident 16d^2-byte fc1/fc2 weight mats, which the bm*d pin alone
+    # misses (ADVICE r3) — under the 100MB scoped-vmem budget.
     for n in (1664, 832, 3328):
-        for d in (1024, 1280, 1664):
+        for d in (1024, 1280, 1664, 2048):
             bm = fb._mlp_bm(n, d)
             assert n % bm == 0 and bm % 8 == 0
             assert bm * d <= 832 * 768, (n, d, bm)
+            assert fb._mlp_footprint(bm, d) <= fb._MLP_VMEM_BUDGET, (n, d, bm)
     # tiny sequences always fit: picker degrades to a divisor of n
     assert fb._mlp_bm(256, 1024) <= 256
+    # calibration sanity: the formula reproduces the measured overflow point
+    assert fb._mlp_footprint(832, 1024) > fb._MLP_VMEM_BUDGET
