@@ -40,12 +40,20 @@ def timm_cosine_schedule(
     ``warmup_lr_init`` to ``base_lr`` over ``warmup_t`` units; afterwards a
     cosine from ``base_lr * cycle_decay**i`` down to ``lr_min`` per cycle,
     ``lr_min`` flat once ``cycle_limit`` cycles are exhausted.
+
+    Loop-position parity: with ``t_in_epochs`` the reference calls
+    ``scheduler.step(epoch)`` BEFORE each 1-based epoch
+    (``trainer.py:346-348``), so every update inside epoch ``e`` trains at
+    the timm value for ``t = e`` — hence ``t = step//spe + 1`` here. With
+    ``t_in_epochs=False`` the reference calls ``step_update(n)`` AFTER
+    update ``n`` (1-based), so update ``n`` trains at ``value(n-1)`` —
+    which is ``t = step`` with our 0-based global step.
     """
-    unit = steps_per_epoch if t_in_epochs else 1
     warmup_slope = (base_lr - warmup_lr_init) / max(warmup_t, 1)
 
     def fn(step):
-        t = jnp.asarray(step, jnp.float32) // unit
+        s = jnp.asarray(step, jnp.float32)
+        t = s // steps_per_epoch + 1.0 if t_in_epochs else s
         warm = warmup_lr_init + t * warmup_slope
         tc = t - (warmup_t if warmup_prefix else 0)
         if cycle_mul == 1.0:
@@ -85,11 +93,12 @@ def timm_multistep_schedule(
     milestones = [
         t * steps_per_epoch if convert_to_batch else t for t in decay_t
     ]
-    unit = steps_per_epoch if t_in_epochs else 1
     warmup_slope = (base_lr - warmup_lr_init) / max(warmup_t, 1)
 
     def fn(step):
-        t = jnp.asarray(step, jnp.float32) // unit
+        # same loop-position convention as the cosine schedule above
+        s = jnp.asarray(step, jnp.float32)
+        t = s // steps_per_epoch + 1.0 if t_in_epochs else s
         warm = warmup_lr_init + t * warmup_slope
         n_decays = sum([(t >= m).astype(jnp.float32) for m in milestones]) if milestones else 0.0
         lr = base_lr * decay_rate**n_decays

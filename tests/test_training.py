@@ -36,13 +36,15 @@ def test_cosine_schedule_matches_timm_semantics():
         num_epochs=10,
         steps_per_epoch=5,
     )
-    # warmup: t=0 -> warmup_lr_init; t=1 -> init + slope
-    assert np.isclose(float(fn(0)), 1e-5)
+    # loop-position parity (trainer.py:346-348): scheduler.step(epoch) runs
+    # BEFORE each 1-based epoch, so epoch e trains at timm value t=e —
+    # steps 0-4 are epoch 1 -> t=1, steps 5-9 epoch 2 -> t=2, ...
     slope = (base - 1e-5) / 3
-    assert np.isclose(float(fn(5)), 1e-5 + slope, rtol=1e-6)  # step 5 = epoch 1
-    # epoch 3 (first post-warmup): cos term at t=3 of 10
+    assert np.isclose(float(fn(0)), 1e-5 + slope, rtol=1e-6)
+    assert np.isclose(float(fn(5)), 1e-5 + 2 * slope, rtol=1e-6)
+    # epoch 3 (last warmup epoch): t=3 == warmup_t -> first cosine value
     expected = 1e-6 + 0.5 * (base - 1e-6) * (1 + np.cos(np.pi * 3 / 10))
-    assert np.isclose(float(fn(15)), expected, rtol=1e-6)
+    assert np.isclose(float(fn(10)), expected, rtol=1e-6)
     # past cycle_limit: lr_min
     assert np.isclose(float(fn(5 * 12)), 1e-6, rtol=1e-6)
 
