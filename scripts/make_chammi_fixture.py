@@ -23,6 +23,14 @@ CLASSES = {
     "HPA": ["golgi apparatus", "microtubules", "mitochondria", "nuclear speckles"],
     "CP": ["BRD-A29260609", "BRD-K04185004", "BRD-K21680192", "DMSO"],
 }
+# complete CHAMMI task surface (the score formula, trainer.py:711-731,
+# reads Allen T2, HPA T2+T3, CP T2+T3+T4 — every task must exist so the
+# reference's 0-fill .get() and a nanmean agree)
+TASKS = {
+    "Allen": ["Task_one", "Task_two"],
+    "HPA": ["Task_one", "Task_two", "Task_three"],
+    "CP": ["Task_one", "Task_two", "Task_three", "Task_four"],
+}
 LEAVEOUT = {"HPA": ("Task_three", "cell_type"), "CP": ("Task_four", "Plate")}
 
 
@@ -33,6 +41,15 @@ def main(root: str, n: int = 48, img: int = 64):
         os.makedirs(os.path.join(root, chunk.lower()), exist_ok=True)
         classes = CLASSES[chunk]
         protos = rng.normal(0.45, 0.25, size=(len(classes), c, 1, 1))
+        # split plan: first half Train, the rest divided near-equally
+        # across the chunk's tasks
+        tasks = TASKS[chunk]
+        n_test = n - n // 2
+        per = [n_test // len(tasks) + (1 if i < n_test % len(tasks) else 0)
+               for i in range(len(tasks))]
+        splits = ["Train"] * (n // 2)
+        for t, cnt in zip(tasks, per):
+            splits += [t] * cnt
         meta_rows = []
         for i in range(n):
             label = classes[i % len(classes)]
@@ -40,22 +57,16 @@ def main(root: str, n: int = 48, img: int = 64):
             tape = np.concatenate([base[k] for k in range(c)], axis=1)
             rel = f"{chunk.lower()}/img_{i}.tif"
             Image.fromarray((tape * 255).astype(np.uint8)).save(os.path.join(root, rel))
-            split = "Train" if i < n // 2 else ("Task_one" if i < 3 * n // 4 else "Task_two")
             rows.append({"file_path": rel, "channel_width": img, "chunk": chunk,
-                         "label": label, "train_test_split": split})
-            meta_rows.append({"Label": label, "train_test_split": split})
+                         "label": label, "train_test_split": splits[i]})
+            meta_rows.append({"Label": label, "train_test_split": splits[i]})
         # MorphEm enriched_meta per dataset
         mdf = pd.DataFrame(meta_rows)
-        tasks = ["Task_one", "Task_two"]
         if chunk in LEAVEOUT:
-            task, col = LEAVEOUT[chunk]
-            lo = mdf.index >= (n - n // 8)
-            mdf.loc[lo, "train_test_split"] = task
+            _, col = LEAVEOUT[chunk]
             mdf[col] = [f"g{i % 2}" for i in range(n)]
-            tasks.append(task)
-        for t in ["Task_one", "Task_two", "Task_three", "Task_four"]:
-            if t in tasks:
-                mdf[t] = mdf["train_test_split"] == t
+        for t in tasks:
+            mdf[t] = mdf["train_test_split"] == t
         os.makedirs(os.path.join(root, chunk), exist_ok=True)
         mdf.to_csv(os.path.join(root, chunk, "enriched_meta.csv"), index=False)
     pd.DataFrame(rows).to_csv(os.path.join(root, "morphem70k_v2.csv"), index=False)
@@ -63,4 +74,5 @@ def main(root: str, n: int = 48, img: int = 64):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 48)
+    main(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 48,
+         int(sys.argv[3]) if len(sys.argv) > 3 else 64)
