@@ -118,6 +118,7 @@ def _run_ours(fixture: str, out: str, rec: dict, epochs: int) -> dict:
         "++train.extra_loss_lambda=1", "++train.tps_prob=0.0",
         f"++train.num_epochs={epochs}", f"++train.batch_size={BATCH}",
         f"++train.seed={SEED}", "++train.use_amp=False",
+        "++train.dtype=float32",
         "++optimizer.params.lr=0.00004", "++optimizer.params.weight_decay=5.0e-5",
         "++scheduler.params.warmup_t=3", "++hardware.num_workers=0",
         "++hardware.mesh.data=1", "++model.attention_impl=xla",
