@@ -1,0 +1,77 @@
+"""Convergence-level quality for the throughput knobs (VERDICT r3 item 3).
+
+The headline bench levers — EViT ``keep_rate`` pruning, PPT block_v2
+pruning, int8 fused-MLP GEMMs — are quality-bearing knobs in the reference
+(``models/vit.py:291-343``); their prior evidence here was 120-200-step
+single-batch loss probes. This trains the synthetic e2e task THROUGH the
+real Trainer to convergence at the flagship-engaging geometry (224 px,
+8 channels, ViT-S d=384 dh=64 — every fused/int8/pruning gate active) for
+dense vs each knob, and reports the eval-accuracy deltas that belong next
+to the bench metrics (``evit_*`` / ``int8_*``).
+
+Run WITHOUT JAX_PLATFORMS (int8 + fused paths need the MXU):
+    python scripts/train_quality_knobs.py [epochs]
+Prints one JSON line per config, then a summary JSON.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from diverse_channel_vit_tpu.compile_cache import enable
+
+enable()
+
+CONFIGS = {
+    "dense": [],
+    "evit_keep07": ["++model.keep_rate=0.7"],
+    "ppt_kc6": ["++model.block_type=block_v2", "++model.token_keep_channels=6"],
+    "int8": ["++model.quantization=int8"],
+}
+
+
+def run(name: str, extra, epochs: int, tmp: str) -> dict:
+    from diverse_channel_vit_tpu.config import load_config
+    from diverse_channel_vit_tpu.trainer import Trainer
+
+    cfg = load_config("synthetic_cfg", [
+        # flagship-engaging geometry: all fused/int8/pruning gates active
+        "++model.img_size=[224]", "++model.patch_size=16",
+        "++model.pretrained_model_name=small",
+        "++dataset.img_size=224", "++dataset.num_channels=8",
+        "++dataset.num_classes=10",
+        "++dataset.num_train_samples=512", "++dataset.num_eval_samples=256",
+        f"++train.num_epochs={epochs}", "++train.batch_size=64",
+        "++optimizer.params.lr=0.0004", "++scheduler.params.warmup_t=3",
+        "++train.seed=11", "++eval.every_n_epochs=5",
+        f"++train.checkpoints={tmp}/{name}", "++train.save_model=none",
+        "++hardware.num_workers=0",
+        *extra,
+    ])
+    t0 = time.perf_counter()
+    trainer = Trainer(cfg)
+    best = trainer.train()
+    out = {"config": name, "best_eval_acc": round(float(best), 4),
+           "minutes": round((time.perf_counter() - t0) / 60, 1)}
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    tmp = "/tmp/quality_knobs"
+    os.makedirs(tmp, exist_ok=True)
+    results = {}
+    for name, extra in CONFIGS.items():
+        results[name] = run(name, extra, epochs, tmp)
+    dense = results["dense"]["best_eval_acc"]
+    for name, r in results.items():
+        r["delta_vs_dense"] = round(r["best_eval_acc"] - dense, 4)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
