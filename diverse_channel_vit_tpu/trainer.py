@@ -815,6 +815,29 @@ class Trainer:
             self.logger.info({f"train/{k}": v for k, v in train_metrics.items()}
                              | {"epoch": epoch, "lr": float(self.lr_schedule(self.state.step))},
                              pref_msg=f"[epoch {epoch}/{self.total_epochs}]")
+            if self.cfg.train.get("log_memory", False):
+                # soak/production telemetry: device HBM (live + session
+                # high-water) and host RSS, once per epoch
+                mem = {}
+                try:
+                    stats = jax.local_devices()[0].memory_stats() or {}
+                    for src, dst in (("bytes_in_use", "hbm_mb"),
+                                     ("peak_bytes_in_use", "hbm_peak_mb")):
+                        if src in stats:
+                            mem[f"mem/{dst}"] = round(stats[src] / 2**20, 1)
+                except Exception:
+                    pass
+                try:
+                    with open("/proc/self/status") as f:
+                        for line in f:
+                            if line.startswith("VmRSS"):
+                                mem["mem/host_rss_mb"] = round(
+                                    int(line.split()[1]) / 1024, 1)
+                                break
+                except OSError:
+                    pass
+                if mem:
+                    self.logger.info(mem)
             if self.channel_counter:
                 self.logger.info({f"channel_usage/{c}": n for c, n in sorted(self.channel_counter.items())})
             every_n = int(self.cfg.eval.get("every_n_epochs", 1) or 1)

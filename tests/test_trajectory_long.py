@@ -105,6 +105,11 @@ def test_long_horizon_swa_miro_trajectory(ref_dichavit, exact_gelu):
                             eps=1e-6, weight_decay=wd0)
     ce = torch.nn.CrossEntropyLoss()
 
+    param_names = ([f"trunk.{n}" for n, _ in trunk.named_parameters()]
+                   + ["head.weight", "head.bias"]
+                   + [f"var_b.{i}" for i in range(DEPTH)])
+    assert len(param_names) == len(all_params)
+
     ref_losses, ref_swa, ref_n = [], None, 0
     for t in range(N_STEPS):
         s = subsets[t % len(subsets)]
@@ -155,7 +160,7 @@ def test_long_horizon_swa_miro_trajectory(ref_dichavit, exact_gelu):
     assert len(params[MIRO_KEY]) == DEPTH
 
     step_cache = {}
-    our_losses, our_swa, our_n = [], None, 0
+    our_losses, our_swa_tree, our_n = [], None, 0
     for t in range(N_STEPS):
         s = subsets[t % len(subsets)]
         step = step_cache.get(tuple(s))
@@ -168,9 +173,13 @@ def test_long_horizon_swa_miro_trajectory(ref_dichavit, exact_gelu):
         state, metrics = step(state, batch, jax.random.key(t))
         our_losses.append(float(metrics["loss"]))
         if (t + 1) % EPOCH_LEN == 0 and (t + 1) // EPOCH_LEN > SWA_START_EPOCH:
-            cur = jax.tree_util.tree_leaves(
-                jax.tree_util.tree_map(np.asarray, state.params))
-            our_swa = cur if our_swa is None else _swa_update(our_swa, cur, our_n)
+            cur = jax.tree_util.tree_map(np.asarray, state.params)
+            if our_swa_tree is None:
+                our_swa_tree = cur
+            else:
+                our_swa_tree = jax.tree_util.tree_map(
+                    lambda a, c, _n=our_n: a + (c - a) / (_n + 1),
+                    our_swa_tree, cur)
             our_n += 1
 
     # ---- drift growth along the curve -----------------------------------
@@ -187,13 +196,34 @@ def test_long_horizon_swa_miro_trajectory(ref_dichavit, exact_gelu):
 
     # ---- final SWA averages ----------------------------------------------
     assert ref_n == our_n == (N_STEPS // EPOCH_LEN) - SWA_START_EPOCH
-    ref_flat = np.concatenate([t_.numpy().ravel() for t_ in ref_swa])
-    # order-insensitive comparison: norms + elementwise via sorted sizes is
-    # fragile; instead compare tree-structurally through named lookup below
-    our_sizes = sorted(a.size for a in our_swa)
-    ref_sizes = sorted(a.size for a in (t_.numpy() for t_ in ref_swa))
-    assert our_sizes == ref_sizes
-    # global magnitude agreement of the averaged solution
-    our_flat = np.concatenate([np.asarray(a).ravel() for a in our_swa])
+    ref_avg = {n: t_.numpy() for n, t_ in zip(param_names, ref_swa)}
+    our_avg = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(our_swa_tree)[0]:
+        our_avg["/".join(str(getattr(p, "key", p)) for p in path)] = np.asarray(leaf)
+
+    def close(ref, ours):
+        # measured: ~1e-4 max abs drift in the averaged weights after 200
+        # composed fp32 steps (loss drift curve above bounds the dynamics)
+        np.testing.assert_allclose(ref.squeeze(), np.asarray(ours).squeeze(),
+                                   atol=5e-4, rtol=5e-3)
+
+    close(ref_avg["trunk.cls_token"], our_avg["backbone/cls_token"])
+    close(ref_avg["trunk.pos_embed"], our_avg["backbone/pos_embed"])
+    close(ref_avg["trunk.patch_embed.channel_embed.weight"],
+          our_avg["backbone/channel_embed"])
+    close(ref_avg["trunk.blocks.0.mlp.fc1.weight"].T,
+          our_avg["backbone/block_0/mlp/fc1/kernel"])
+    close(ref_avg["head.weight"].T, our_avg["classifier_head/kernel"])
+    miro_keys = sorted(k for k in our_avg if k.startswith(MIRO_KEY))
+    for i, mk in enumerate(miro_keys):
+        close(ref_avg[f"var_b.{i}"], our_avg[mk])
+    # global magnitude of the full averaged solution (leaf-split-invariant:
+    # our wq/wk/wv vs torch's fused qkv hold the same numbers). Our tree
+    # carries one extra leaf the torch side has no counterpart for: the
+    # head-mode classifier keeps `proxies` for checkpoint compatibility
+    # (unused by the CE loss) — excluded.
+    ref_flat = np.concatenate([v.ravel() for v in ref_avg.values()])
+    our_flat = np.concatenate([v.ravel() for k, v in our_avg.items()
+                               if k != "proxies"])
     np.testing.assert_allclose(
         np.linalg.norm(our_flat), np.linalg.norm(ref_flat), rtol=1e-4)
