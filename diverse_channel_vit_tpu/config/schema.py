@@ -46,6 +46,7 @@ SECTION_DEFAULTS = {
         "device_augment": True,  # run JUMP-CP train augmentation on device (ops/augment.py)
         "log_every_n_steps": 50,
         "profile_dir": None,  # write a JAX profiler trace of the run here
+        "log_memory": False,  # per-epoch HBM live/peak + host RSS telemetry
         "auto_resume": True,  # resume from a preemption (SIGTERM) checkpoint
         "resume_mid_epoch": True,  # re-enter the interrupted epoch at the exact batch
         "async_checkpoint": False,  # epoch saves commit on a background thread

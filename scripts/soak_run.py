@@ -27,11 +27,15 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# img 128 (not 224): this dev host feeds the chip through a ~50 MB/s
+# tunnel, so the soak would be transfer-bound into many hours at 224; at
+# 128 px the full ViT-S step still exercises every production path
+# (fused kernels, flash, SWA, eval, checkpoints) at ~10k steps / ~1.5 h
 CMD = [
     sys.executable, os.path.join(REPO, "main.py"), "-cn", "synthetic_cfg",
-    "++model.img_size=[224]", "++model.patch_size=16",
+    "++model.img_size=[128]", "++model.patch_size=16",
     "++model.pretrained_model_name=small",
-    "++dataset.img_size=224", "++dataset.num_train_samples=12800",
+    "++dataset.img_size=128", "++dataset.num_train_samples=6400",
     "++dataset.num_eval_samples=512",
     "++train.batch_size=64", "++train.seed=123",
     "++train.swa=True", "++train.swa_start=50",
