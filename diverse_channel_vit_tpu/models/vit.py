@@ -571,7 +571,7 @@ class _FusedMlpCore(nn.Module):
         c = x.shape[-1]
         w1, b1 = _DenseParams(c, self.hidden_features, name="fc1")()
         w2, b2 = _DenseParams(self.hidden_features, self.out_features, name="fc2")()
-        return _fb.ln_mlp(
+        return _fb.ln_mlp_sharded(
             x, ln_scale, ln_bias,
             w1.astype(self.dtype), b1.astype(self.dtype),
             w2.astype(self.dtype), b2.astype(self.dtype),
@@ -657,22 +657,40 @@ class Block(nn.Module):
                 y2, train=train, rate_override=drop_path_override
             )
         if self._fused_ok(x, train):
+            from ..ops import fused_block as _fb
+
             x = x.astype(self.dtype)
             fuse_res = (not train) or (
                 drop_path_override is None and self.drop_path == 0.0
             )
             y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
-            attn = _FusedAttentionCore(
-                num_heads=self.num_heads, qkv_bias=self.qkv_bias,
-                qk_scale=self.qk_scale, dtype=self.dtype, name="attn",
-            )
-            if fuse_res:
-                x = attn(y.astype(self.dtype), x_res=x, valid_len=valid_len)
-            else:
-                branch = attn(y.astype(self.dtype), x_res=None, valid_len=valid_len)
+            if _fb.mlp_only_mode():
+                # TP mode ("mlp"): the attention core runs unfused (the
+                # flash kernel itself still shards heads via its inner
+                # shard_map); only ln_mlp below takes the fused path with
+                # model-axis-sharded weights. Same parameter tree.
+                a = Attention(
+                    num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+                    qk_scale=self.qk_scale, attn_drop=self.attn_drop,
+                    proj_drop=self.drop, impl=self.attention_impl,
+                    dtype=self.dtype, name="attn",
+                )(y.astype(self.dtype), train=train, valid_len=valid_len)
                 x = x + DropPath(self.drop_path, name="drop_path1")(
-                    branch, train=train, rate_override=drop_path_override
+                    a, train=train, rate_override=drop_path_override
                 )
+            else:
+                attn = _FusedAttentionCore(
+                    num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+                    qk_scale=self.qk_scale, dtype=self.dtype, name="attn",
+                )
+                if fuse_res:
+                    x = attn(y.astype(self.dtype), x_res=x, valid_len=valid_len)
+                else:
+                    branch = attn(y.astype(self.dtype), x_res=None,
+                                  valid_len=valid_len)
+                    x = x + DropPath(self.drop_path, name="drop_path1")(
+                        branch, train=train, rate_override=drop_path_override
+                    )
             s2, b2 = _LNParams(dim, name="norm2")()
             z = _FusedMlpCore(
                 hidden_features=int(dim * self.mlp_ratio), out_features=dim,

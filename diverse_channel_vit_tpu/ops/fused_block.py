@@ -331,11 +331,11 @@ def ln_mlp(x, scale, bias, w1, b1, w2, b2, residual=False, quantized=False):
 
 def _ln_mlp_vjp_fwd(x, scale, bias, w1, b1, w2, b2, residual, quantized):
     out = ln_mlp(x, scale, bias, w1, b1, w2, b2, residual, quantized)
-    return out, (x, scale, bias, w1, b1, w2)
+    return out, (x, scale, bias, w1, b1, w2, b2)
 
 
 def _ln_mlp_vjp_bwd(residual, quantized, res, do):
-    x, scale, bias, w1, b1, w2 = res
+    x, scale, bias, w1, b1, w2, b2 = res
     impl = _ln_mlp_q_bwd_impl if quantized else _ln_mlp_bwd_impl
     dx, dw1, db1, dw2, db2, ds, db = impl(
         x, scale, bias, w1, b1, w2, do, residual
@@ -347,11 +347,76 @@ def _ln_mlp_vjp_bwd(residual, quantized, res, do):
         dw1.astype(w1.dtype),
         db1.astype(b1.dtype),
         dw2.astype(w2.dtype),
-        db2.astype(w2.dtype),
+        # b2's own dtype, NOT w2's: the TP-sharded path feeds an f32 bias
+        # (pre-divided by tp) and the cotangent must match it
+        db2.astype(b2.dtype),
     )
 
 
 ln_mlp.defvjp(_ln_mlp_vjp_fwd, _ln_mlp_vjp_bwd)
+
+
+def ln_mlp_sharded(x, scale, bias, w1, b1, w2, b2, residual=False,
+                   quantized=False):
+    """:func:`ln_mlp` under active non-data mesh axes (TP/EP).
+
+    Mosaic kernels cannot sit under GSPMD propagation, so the kernel runs
+    per shard via an inner ``shard_map`` manual over every non-data axis
+    (the same escape as ``attention.set_tp_attention``). Over the ``model``
+    axis the weights take the Megatron split — fc1 column-sharded
+    ``(D, 4D/tp)``, fc2 row-sharded ``(4D/tp, D)`` — and the row-parallel
+    partial output psums once per call, exactly where the unfused GSPMD
+    path puts its fc2 all-reduce. The fused residual moves outside the
+    kernel (each shard adding x would psum to tp*x) and fc2's bias enters
+    pre-divided by tp (summed back to b2 by the psum; exact in f32).
+    Replicated inputs (x, LN params, b2) get their gradient psums from
+    shard_map's transpose automatically; the sharded weight grads stay
+    shard-local, matching the parameters' own shardings. Axes that shard
+    nothing here (e.g. ``expert``) replicate the whole computation — the
+    wrapper then only keeps the kernel out of GSPMD's reach."""
+    from . import attention as _att
+
+    wrap = _att._wrap_axes()
+    if not wrap:
+        return ln_mlp(x, scale, bias, w1, b1, w2, b2, residual, quantized)
+    mesh = _att._tp_mesh()
+    axis = _att._TP_STATE["axis"]
+    tp = dict(mesh.shape).get(axis, 1)
+    hid = w1.shape[1]
+    model = axis if (axis in wrap and tp > 1 and hid % tp == 0
+                     and (hid // tp) % 128 == 0) else None
+    wrapped = _tp_ln_mlp_wrapper(mesh, wrap, model, bool(residual),
+                                 bool(quantized))
+    b2_in = b2.astype(jnp.float32) / tp if model is not None else b2
+    return wrapped(x, scale, bias, w1, b1, w2, b2_in)
+
+
+@functools.lru_cache(maxsize=64)
+def _tp_ln_mlp_wrapper(mesh, wrap, model, residual, quantized):
+    """jit(shard_map) cache — same partial-manual lowering constraint as
+    ``attention._tp_flash_wrapper`` (jit-wrapped so eager callers trace)."""
+    from jax.sharding import PartitionSpec as P
+
+    def fn(x, scale, bias, w1, b1, w2, b2):
+        if model is None:
+            # nothing sharded (e.g. expert-only mesh): keep the in-kernel
+            # residual — bit-equal to the unsharded kernel
+            return ln_mlp(x, scale, bias, w1, b1, w2, b2, residual, quantized)
+        part = ln_mlp(x, scale, bias, w1, b1, w2, b2, False, quantized)
+        # f32 reduce: better partial-sum numerics, and bf16 all-reduce
+        # under a partial-manual shard_map hard-aborts XLA:CPU
+        # ("Invalid binary instruction opcode copy") in the virtual-mesh
+        # test harness
+        part = jax.lax.psum(part.astype(jnp.float32), model).astype(part.dtype)
+        return part + x if residual else part
+
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(None, model), P(model), P(model, None), P()),
+        out_specs=P(),
+        axis_names=frozenset(wrap),
+        check_vma=False,
+    ))
 
 
 # ---------------------------------------------------------------------------
@@ -930,9 +995,17 @@ FUSED_BLOCK_DEFAULT = True
 FORCE_ON_CPU = False
 
 
-def set_fused_block(enabled: bool) -> None:
+def set_fused_block(enabled) -> None:
+    """True/False, or ``"mlp"``: fused ln_mlp only (the TP mode — the
+    attention core runs unfused because ``attend_project`` holds its
+    weights in-kernel unsharded, while :func:`ln_mlp_sharded` shards its
+    weights over the inner shard_map)."""
     global FUSED_BLOCK_DEFAULT
-    FUSED_BLOCK_DEFAULT = bool(enabled)
+    FUSED_BLOCK_DEFAULT = "mlp" if enabled == "mlp" else bool(enabled)
+
+
+def mlp_only_mode() -> bool:
+    return FUSED_BLOCK_DEFAULT == "mlp"
 
 
 # opt-in int8 GEMM quantisation for the fused MLP/projection paths

@@ -133,16 +133,20 @@ class Trainer:
             # The flash kernel stays on: it runs under an inner shard_map
             # over the model axis (heads are embarrassingly parallel —
             # ops/attention.py:set_tp_attention), falling back to XLA
-            # attention per-call when heads don't divide tp. The fused
-            # block (attend_project/ln_mlp) holds projection/MLP weights
-            # in-kernel where the Megatron row-parallel all-reduce cannot
-            # be placed, so it yields to the unfused path under TP.
-            set_fused_block(False)
+            # attention per-call when heads don't divide tp. The fused MLP
+            # stays on too ("mlp" mode): ln_mlp_sharded takes the Megatron
+            # fc1/fc2 split inside its own inner shard_map with one psum
+            # where the unfused path puts its fc2 all-reduce. Only
+            # attend_project (weights in-kernel, unsharded) yields to the
+            # unfused attention core.
+            if cfg.model.get("fused_block", True):
+                set_fused_block("mlp")
             set_tp_attention(self.mesh)
             self.logger.info(
                 "non-data mesh axes active (model TP / expert EP): fused "
-                "block disabled; flash attention runs per shard via an inner "
-                "shard_map (XLA fallback when num_heads %% tp != 0)"
+                "attention core off, fused MLP in sharded ('mlp') mode; "
+                "flash attention runs per shard via an inner shard_map "
+                "(XLA fallback when num_heads %% tp != 0)"
             )
         else:
             set_tp_attention(None)
