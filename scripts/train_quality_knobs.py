@@ -38,10 +38,13 @@ def run(name: str, extra, epochs: int, tmp: str) -> dict:
     from diverse_channel_vit_tpu.trainer import Trainer
 
     cfg = load_config("synthetic_cfg", [
-        # flagship-engaging geometry: all fused/int8/pruning gates active
-        "++model.img_size=[224]", "++model.patch_size=16",
+        # knob-engaging geometry: d=384 dh=64 bf16 (fused + int8 gates on),
+        # 513 tokens (EViT/PPT prune meaningfully). img 128, not 224: this
+        # host feeds the chip through a ~50 MB/s tunnel and the knob DELTAS
+        # are geometry-independent once the gates engage.
+        "++model.img_size=[128]", "++model.patch_size=16",
         "++model.pretrained_model_name=small",
-        "++dataset.img_size=224", "++dataset.num_channels=8",
+        "++dataset.img_size=128", "++dataset.num_channels=8",
         "++dataset.num_classes=10",
         "++dataset.num_train_samples=512", "++dataset.num_eval_samples=256",
         f"++train.num_epochs={epochs}", "++train.batch_size=64",
