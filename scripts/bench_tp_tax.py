@@ -29,11 +29,11 @@ import jax
 from bench import _measure, _mk_step, _setup
 
 
-def measure(num_heads: int, fused: bool) -> float:
+def measure(num_heads: int, fused) -> float:
     from diverse_channel_vit_tpu.ops import fused_block as fb
 
     old = fb.FUSED_BLOCK_DEFAULT
-    fb.FUSED_BLOCK_DEFAULT = fused
+    fb.set_fused_block(fused)
     try:
         n = len(jax.devices())
         model, state, data, mesh = _setup(num_heads, 64 * n)
@@ -41,7 +41,7 @@ def measure(num_heads: int, fused: bool) -> float:
         ips, _ = _measure(state, data, [step], 64 * n, iters=20)
         return ips / n
     finally:
-        fb.FUSED_BLOCK_DEFAULT = old
+        fb.set_fused_block(old)
 
 
 def main():
@@ -49,8 +49,14 @@ def main():
     for name, heads in (("dh64_6head", 6), ("dh128_3head", 3)):
         on = measure(heads, True)
         off = measure(heads, False)
+        # "mlp" = the round-4 TP path on one chip: unfused attention core +
+        # fused ln_mlp (under a real TP mesh the same ln_mlp runs sharded
+        # with one psum, so this is the per-chip projection of that path)
+        mlp = measure(heads, "mlp")
         out[name] = {"fused_on": round(on, 1), "fused_off": round(off, 1),
-                     "tp_tax_pct": round(100 * (1 - off / on), 1)}
+                     "fused_mlp_only": round(mlp, 1),
+                     "tp_tax_pct_old": round(100 * (1 - off / on), 1),
+                     "tp_tax_pct_new": round(100 * (1 - mlp / on), 1)}
         print(json.dumps({name: out[name]}), flush=True)
     print(json.dumps(out))
 
