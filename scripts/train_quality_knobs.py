@@ -38,13 +38,15 @@ def run(name: str, extra, epochs: int, tmp: str) -> dict:
     from diverse_channel_vit_tpu.trainer import Trainer
 
     cfg = load_config("synthetic_cfg", [
-        # knob-engaging geometry: d=384 dh=64 bf16 (fused + int8 gates on),
-        # 513 tokens (EViT/PPT prune meaningfully). img 128, not 224: this
-        # host feeds the chip through a ~50 MB/s tunnel and the knob DELTAS
-        # are geometry-independent once the gates engage.
-        "++model.img_size=[128]", "++model.patch_size=16",
+        # knob-engaging geometry: d=384 dh=64 bf16; img 144 -> 8*81+1 =
+        # 649 tokens, lane-padded to 768 within the 1.20 fused cap — the
+        # fused ln_mlp (and therefore int8) actually engages, unlike 128 px
+        # where 513 -> 640 exceeds the cap and the fused gate stays closed.
+        # (img 224 is transfer-bound on this tunneled host; the knob DELTAS
+        # are geometry-independent once the gates engage.)
+        "++model.img_size=[144]", "++model.patch_size=16",
         "++model.pretrained_model_name=small",
-        "++dataset.img_size=128", "++dataset.num_channels=8",
+        "++dataset.img_size=144", "++dataset.num_channels=8",
         "++dataset.num_classes=10",
         "++dataset.num_train_samples=512", "++dataset.num_eval_samples=256",
         f"++train.num_epochs={epochs}", "++train.batch_size=64",
@@ -65,14 +67,16 @@ def run(name: str, extra, epochs: int, tmp: str) -> dict:
 
 def main():
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else list(CONFIGS)
     tmp = "/tmp/quality_knobs"
     os.makedirs(tmp, exist_ok=True)
     results = {}
-    for name, extra in CONFIGS.items():
+    for name, extra in ((n, CONFIGS[n]) for n in only):
         results[name] = run(name, extra, epochs, tmp)
-    dense = results["dense"]["best_eval_acc"]
-    for name, r in results.items():
-        r["delta_vs_dense"] = round(r["best_eval_acc"] - dense, 4)
+    if "dense" in results:
+        dense = results["dense"]["best_eval_acc"]
+        for name, r in results.items():
+            r["delta_vs_dense"] = round(r["best_eval_acc"] - dense, 4)
     print(json.dumps(results))
 
 
