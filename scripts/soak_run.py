@@ -46,12 +46,34 @@ CMD = [
 ]
 
 
+_CHILD = {"proc": None}
+
+
+def _forward_term(signum, frame):
+    """If the wrapper itself is terminated (outer timeout/operator), pass
+    SIGTERM to the trainer so its preemption guard checkpoints and exits —
+    never leave an orphaned main.py holding the chip."""
+    proc = _CHILD["proc"]
+    if proc is not None and proc.poll() is None:
+        proc.send_signal(signal.SIGTERM)
+        try:
+            proc.wait(timeout=300)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+    raise SystemExit(143)
+
+
+signal.signal(signal.SIGTERM, _forward_term)
+
+
 def launch(out_dir: str, epochs: int, log_path: str):
     cmd = CMD + [f"++train.num_epochs={epochs}",
                  f"++train.checkpoints={out_dir}/ck"]
     log = open(log_path, "w")
-    return subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT,
-                            cwd=REPO, env=dict(os.environ)), log
+    proc = subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT,
+                            cwd=REPO, env=dict(os.environ))
+    _CHILD["proc"] = proc
+    return proc, log
 
 
 def monitor(proc, rss_f, preempt_after_epoch, log_path):
