@@ -40,8 +40,21 @@ def _resolve_dir(base: str) -> str:
     host-fingerprinted subdir so their AOT blobs never cross host ISAs.
     Accelerator runs keep the base dir: their serialized executables are
     device-targeted (not host-ISA-sensitive) and the warm TPU cache there
-    saves ~8 min per cold entry point."""
-    plats = os.environ.get("JAX_PLATFORMS", "")
+    saves ~8 min per cold entry point.
+
+    Both the env var AND jax.config's jax_platforms are consulted: a
+    sitecustomize preloads jax, so the repo's documented CPU-selection
+    pattern is ``jax.config.update("jax_platforms", "cpu")`` after import —
+    such a process must not write host-ISA-sensitive CPU blobs into the
+    shared TPU base dir (ADVICE r4)."""
+    plats = os.environ.get("JAX_PLATFORMS") or ""
+    if not plats:
+        try:
+            import jax
+
+            plats = jax.config.jax_platforms or ""
+        except Exception:
+            plats = ""
     if plats.split(",")[0].strip().lower() == "cpu":
         return os.path.join(base, f"cpu-{_host_fingerprint()}")
     return base

@@ -385,10 +385,36 @@ def ln_mlp_sharded(x, scale, bias, w1, b1, w2, b2, residual=False,
     hid = w1.shape[1]
     model = axis if (axis in wrap and tp > 1 and hid % tp == 0
                      and (hid // tp) % 128 == 0) else None
+    if model is None and axis in wrap and tp > 1:
+        # The model axis is live but the Megatron split can't engage
+        # (hid % tp != 0 or shard not lane-aligned). Replicating the full
+        # MLP inside shard_map with P() in_specs would force per-step
+        # all-gathers of the GSPMD-sharded fc1/fc2 — strictly worse than
+        # plain dense ops, which GSPMD shards with its own fc2 all-reduce
+        # (ADVICE r4). Fall back to XLA math, identical to the kernel's.
+        return _ln_mlp_xla(x, scale, bias, w1, b1, w2, b2, residual)
     wrapped = _tp_ln_mlp_wrapper(mesh, wrap, model, bool(residual),
                                  bool(quantized))
     b2_in = b2.astype(jnp.float32) / tp if model is not None else b2
     return wrapped(x, scale, bias, w1, b1, w2, b2_in)
+
+
+def _ln_mlp_xla(x, scale, bias, w1, b1, w2, b2, residual):
+    """Dense-op twin of :func:`ln_mlp` (same math: f32 LN, bf16 GEMMs,
+    tanh-GELU, f32 fc2 accumulation + bias). Used as the TP fallback when
+    the in-kernel Megatron split can't engage — GSPMD shards these GEMMs
+    over the params' own shardings and inserts the fc2 all-reduce itself.
+    Quantisation is intentionally dropped here (it is a kernel-only lever;
+    XLA-level int8 loses the gain to HBM quant passes, PERFORMANCE.md)."""
+    y, _, _ = _ln_f32(x.astype(jnp.float32), scale.astype(jnp.float32),
+                      bias.astype(jnp.float32))
+    h = y.astype(x.dtype) @ w1 + b1
+    h = _gelu_tanh_f32(h.astype(jnp.float32)).astype(x.dtype)
+    out = jnp.dot(h, w2, preferred_element_type=jnp.float32)
+    out = out + b2.astype(jnp.float32)
+    if residual:
+        out = out + x.astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 @functools.lru_cache(maxsize=64)

@@ -161,7 +161,10 @@ def main():
     report["wall_hours"] = round((time.time() - t0) / 3600, 2)
     report["preempt_resume"] = {"rc_preempted": rc1, "rc_final": rc2}
     with open(log2, errors="replace") as f:
-        report["resumed"] = "auto-resume" in f.read() or True
+        report["resumed"] = "auto-resume" in f.read()
+    if not report["resumed"]:
+        print("[soak] WARNING: phase 2 log shows no auto-resume — the "
+              "preemption checkpoint was not picked up", flush=True)
     with open(os.path.join(args.out, "soak_report.json"), "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))

@@ -29,12 +29,12 @@ def _force_fused_cpu():
     A.set_tp_attention(None)
 
 
-def _inputs(key=0):
+def _inputs(key=0, d=D, hid=HID):
     ks = jax.random.split(jax.random.key(key), 7)
     mk = lambda i, shape, s=0.3: (jax.random.normal(ks[i], shape) * s).astype(jnp.bfloat16)
-    return (mk(0, (B, N, D)), jnp.abs(mk(1, (D,))) + 0.5, mk(2, (D,)),
-            mk(3, (D, HID), 0.05), mk(4, (HID,)), mk(5, (HID, D), 0.05),
-            mk(6, (D,)))
+    return (mk(0, (B, N, d)), jnp.abs(mk(1, (d,))) + 0.5, mk(2, (d,)),
+            mk(3, (d, hid), 0.05), mk(4, (hid,)), mk(5, (hid, d), 0.05),
+            mk(6, (d,)))
 
 
 def _dense_ref(x, scale, bias, w1, b1, w2, b2, residual):
@@ -52,41 +52,91 @@ def _dense_ref(x, scale, bias, w1, b1, w2, b2, residual):
     return out.astype(jnp.bfloat16)
 
 
+@pytest.mark.parametrize("quantized", [False, True])
 @pytest.mark.parametrize("residual", [False, True])
-def test_ln_mlp_sharded_matches_dense_under_model_axis(residual):
+def test_ln_mlp_sharded_matches_dense_under_model_axis(residual, quantized):
     args = _inputs()
     mesh = make_mesh({"data": 2, "model": 2}, devices=jax.devices()[:4])
     A.set_tp_attention(mesh)
-    got = fb.ln_mlp_sharded(*args, residual, False)
+    got = fb.ln_mlp_sharded(*args, residual, quantized)
     want = _dense_ref(*args, residual)
+    # int8 path: ~1% relative error per GEMM by design, and the per-row
+    # activation scales of the row-sharded fc2 input are computed per
+    # shard — looser band (ADVICE r4: pin the quantized TP path too)
+    tol = dict(atol=8e-2, rtol=8e-2) if quantized else dict(atol=3e-2, rtol=3e-2)
     np.testing.assert_allclose(np.asarray(got, np.float32),
-                               np.asarray(want, np.float32),
-                               atol=3e-2, rtol=3e-2)
+                               np.asarray(want, np.float32), **tol)
     # against the unsharded kernel itself: tight (same kernel, one psum)
     A.set_tp_attention(None)
-    base = fb.ln_mlp(*args, residual, False)
+    base = fb.ln_mlp(*args, residual, quantized)
+    tol = dict(atol=5e-2, rtol=5e-2) if quantized else dict(atol=1e-2, rtol=1e-2)
     np.testing.assert_allclose(np.asarray(got, np.float32),
-                               np.asarray(base, np.float32),
-                               atol=1e-2, rtol=1e-2)
+                               np.asarray(base, np.float32), **tol)
 
 
-def test_ln_mlp_sharded_grads_match_unsharded():
+@pytest.mark.parametrize("quantized", [False, True])
+def test_ln_mlp_sharded_grads_match_unsharded(quantized):
     args = _inputs(1)
     mesh = make_mesh({"model": 4}, devices=jax.devices()[:4])
 
     def loss(fn, a):
-        return jnp.sum(fn(*a, False, False).astype(jnp.float32) ** 2)
+        return jnp.sum(fn(*a, False, quantized).astype(jnp.float32) ** 2)
 
     A.set_tp_attention(None)
     g_ref = jax.grad(lambda a: loss(fb.ln_mlp, a))(args)
     A.set_tp_attention(mesh)
     g_tp = jax.grad(lambda a: loss(fb.ln_mlp_sharded, a))(args)
     for r, t in zip(g_ref, g_tp):
-        # bf16 weight grads from 4 split partial GEMMs reassociate; the
-        # residual deltas are single-ulp at the element scale
-        np.testing.assert_allclose(np.asarray(t, np.float32),
-                                   np.asarray(r, np.float32),
-                                   atol=2e-1, rtol=5e-2)
+        r, t = np.asarray(r, np.float32), np.asarray(t, np.float32)
+        if quantized:
+            # per-shard activation scales re-bin a handful of int8 elements;
+            # elementwise bands are the wrong instrument — pin the relative
+            # L2 error of each grad tensor instead
+            err = np.linalg.norm(t - r) / (np.linalg.norm(r) + 1e-8)
+            assert err < 3e-2, err
+        else:
+            # bf16 weight grads from 4 split partial GEMMs reassociate; the
+            # residual deltas are single-ulp at the element scale
+            np.testing.assert_allclose(t, r, atol=2e-1, rtol=5e-2)
+
+
+def test_ln_mlp_sharded_misaligned_falls_back_to_xla():
+    """hid % tp == 0 but the shard isn't lane-aligned ((hid//tp) % 128 != 0):
+    the Megatron split can't engage. ADVICE r4: the old path replicated the
+    FULL MLP inside shard_map with P() in_specs — forcing per-step
+    all-gathers of the GSPMD-sharded fc1/fc2. Now it must route to dense XLA
+    ops (GSPMD shards them itself): correct numerics, and when jitted with
+    Megatron-sharded weights the HLO contains all-reduce only."""
+    d, hid = 96, 384  # tp=4 -> shard 96, not %128
+    args = _inputs(3, d=d, hid=hid)
+    mesh = make_mesh({"data": 2, "model": 4})
+    A.set_tp_attention(mesh)
+    got = fb.ln_mlp_sharded(*args, True, False)
+    want = _dense_ref(*args, True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=3e-2, rtol=3e-2)
+
+    # communication contract: jit with fc1 column- / fc2 row-sharded weights
+    # (what apply_param_shardings produces at this geometry) -> no all-gather
+    import re
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    x, scale, bias, w1, b1, w2, b2 = args
+    put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+    w1s = put(w1, P(None, "model"))
+    b1s = put(b1, P("model"))
+    w2s = put(w2, P("model", None))
+    xs = put(x, P("data"))
+
+    fn = jax.jit(lambda *a: fb.ln_mlp_sharded(*a, True, False))
+    txt = fn.lower(xs, scale, bias, w1s, b1s, w2s, b2).compile().as_text()
+    for op in ("all-gather", "collective-permute", "all-to-all"):
+        bad = [l for l in txt.splitlines()
+               if re.search(r"= *\(?.*" + op + r"(-start)?\(", l)]
+        assert not bad, (op, bad[:3])
+    assert "all-reduce" in txt  # the Megatron fc2 reduction is still there
 
 
 def test_ln_mlp_sharded_expert_axis_replicates():
