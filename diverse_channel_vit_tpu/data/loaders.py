@@ -451,6 +451,11 @@ def _build_split(name: str, cfg_dataset, chunk_channels, split: str, is_train: b
             num_channels=len(cfg_dataset.in_channel_names),
             img_size=cfg_dataset.get("img_size", 32),
             seed=seed,
+            difficulty=cfg_dataset.get("difficulty", "easy"),
+            patch=cfg_dataset.get("hard_patch", 16),
+            alpha=cfg_dataset.get("hard_alpha", 0.45),
+            beta=cfg_dataset.get("hard_beta", 0.75),
+            distractors=cfg_dataset.get("hard_distractors", 2),
         )
     if name == "so2sat_city":
         h5_split = "train" if split == "train" else ("valid" if split == "valid" else "test")

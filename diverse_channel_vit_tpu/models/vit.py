@@ -541,17 +541,18 @@ class _FusedAttentionCore(nn.Module):
         wk, bk = _DenseParams(c, c, self.qkv_bias, name="wk")()
         wv, bv = _DenseParams(c, c, self.qkv_bias, name="wv")()
         wp, bp = _DenseParams(c, c, name="proj")()
-        w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
-        if self.qkv_bias:
-            b = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
-        else:
-            b = jnp.zeros((3 * c,), self.dtype)
+        cast = lambda a: None if a is None else a.astype(self.dtype)
         # NOTE: the proj GEMM is deliberately NOT quantised under
         # model.quantization=int8 — measured 260.8 -> 257.8 imgs/s at dh=64
         # (the in-kernel quant VPU work serialises into the MXU-bound
         # attention programs) and noise at dh=128; see PERFORMANCE.md.
-        return _fb.attend_project(
-            y, w, b, wp.astype(self.dtype), bp.astype(self.dtype), x_res,
+        # attend_project_sharded routes: plain kernel without non-data mesh
+        # axes; Megatron per-head shards + one psum under a model axis
+        # (round 5, closing the attend_project share of the TP tax).
+        return _fb.attend_project_sharded(
+            y, cast(wq), cast(wk), cast(wv),
+            cast(bq), cast(bk), cast(bv),
+            cast(wp), cast(bp), x_res,
             self.num_heads, self.qk_scale or head_dim**-0.5, valid_len,
         )
 
@@ -664,11 +665,14 @@ class Block(nn.Module):
                 drop_path_override is None and self.drop_path == 0.0
             )
             y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
-            if _fb.mlp_only_mode():
-                # TP mode ("mlp"): the attention core runs unfused (the
-                # flash kernel itself still shards heads via its inner
-                # shard_map); only ln_mlp below takes the fused path with
-                # model-axis-sharded weights. Same parameter tree.
+            if _fb.mlp_only_mode() and not _fb.tp_attend_available(self.num_heads):
+                # TP mode with heads not divisible by tp: the fused
+                # attention core's Megatron head split can't engage, so it
+                # runs unfused (the flash kernel itself still shards heads
+                # via its inner shard_map when it can, else XLA attention);
+                # ln_mlp below still takes the sharded fused path. When the
+                # head split CAN engage, _FusedAttentionCore routes through
+                # attend_project_sharded instead. Same parameter tree.
                 a = Attention(
                     num_heads=self.num_heads, qkv_bias=self.qkv_bias,
                     qk_scale=self.qk_scale, attn_drop=self.attn_drop,

@@ -819,12 +819,15 @@ def _ap_fwd_impl(qkv, x_res, wp, bp, num_heads, sm_scale, n_valid, block_q,
                  with_residual):
     b, n, d3 = qkv.shape
     d = d3 // 3
+    # wp may be rectangular (d, d_out): the TP head split feeds per-shard
+    # row blocks (D/tp, D) whose proj partials psum outside (round 5)
+    d_out = wp.shape[1]
     nq = n // block_q
-    x_in = x_res if with_residual else jnp.zeros((b, 8, d), qkv.dtype)
+    x_in = x_res if with_residual else jnp.zeros((b, 8, d_out), qkv.dtype)
     x_spec = (
-        pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0))
+        pl.BlockSpec((1, block_q, d_out), lambda b_, qi: (b_, qi, 0))
         if with_residual
-        else pl.BlockSpec((1, 8, d), lambda b_, qi: (b_, 0, 0))
+        else pl.BlockSpec((1, 8, d_out), lambda b_, qi: (b_, 0, 0))
     )
     kernel = functools.partial(
         _ap_fwd_kernel, num_heads=num_heads, sm_scale=sm_scale,
@@ -843,11 +846,11 @@ def _ap_fwd_impl(qkv, x_res, wp, bp, num_heads, sm_scale, n_valid, block_q,
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),
-            pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),
+            pl.BlockSpec((1, block_q, d_out), lambda b_, qi: (b_, qi, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
-            jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
+            jax.ShapeDtypeStruct((b, n, d_out), qkv.dtype),
         ],
         compiler_params=None if pltpu is None else pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -866,6 +869,7 @@ def _ap_fwd_impl(qkv, x_res, wp, bp, num_heads, sm_scale, n_valid, block_q,
 def _ap_bwd_impl(qkv, o, wp, dxo, num_heads, sm_scale, n_valid):
     b, n, d3 = qkv.shape
     d = d3 // 3
+    d_out = wp.shape[1]  # rectangular under the TP head split (round 5)
     block_q = _attn._pick_block_q_bwd(n, d // num_heads)
     nq = n // block_q
     dq, dk, dv, dwp_b, dbp_b, db3_b = pl.pallas_call(
@@ -880,29 +884,29 @@ def _ap_bwd_impl(qkv, o, wp, dxo, num_heads, sm_scale, n_valid):
             pl.BlockSpec((1, n, d), lambda b_, qi: (b_, 0, 2)),  # v view resident
             pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),  # o
             _full_spec(wp.shape),
-            pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),  # dxo
+            pl.BlockSpec((1, block_q, d_out), lambda b_, qi: (b_, qi, 0)),  # dxo
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),  # dq
             pl.BlockSpec((1, n, d), lambda b_, qi: (b_, 0, 0)),  # dk (revisited)
             pl.BlockSpec((1, n, d), lambda b_, qi: (b_, 0, 0)),  # dv (revisited)
-            pl.BlockSpec((1, d, d), lambda b_, qi: (b_, 0, 0)),  # dwp per-b
-            pl.BlockSpec((1, 1, d), lambda b_, qi: (b_, 0, 0)),  # dbp per-b
+            pl.BlockSpec((1, d, d_out), lambda b_, qi: (b_, 0, 0)),  # dwp per-b
+            pl.BlockSpec((1, 1, d_out), lambda b_, qi: (b_, 0, 0)),  # dbp per-b
             pl.BlockSpec((1, 3, d), lambda b_, qi: (b_, 0, 0)),  # dbqkv per-b
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
             jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
             jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
-            jax.ShapeDtypeStruct((b, d, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, d, d_out), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, d_out), jnp.float32),
             jax.ShapeDtypeStruct((b, 3, d), jnp.float32),
         ],
         scratch_shapes=[] if pltpu is None else [
             pltpu.VMEM((n, d), jnp.float32),
             pltpu.VMEM((n, d), jnp.float32),
-            pltpu.VMEM((d, d), jnp.float32),
-            pltpu.VMEM((d,), jnp.float32),
+            pltpu.VMEM((d, d_out), jnp.float32),
+            pltpu.VMEM((d_out,), jnp.float32),
             pltpu.VMEM((d,), jnp.float32),
         ],
         compiler_params=None if pltpu is None else pltpu.CompilerParams(
@@ -943,7 +947,9 @@ def _apa_vjp_fwd(y, w, b, wp, bp, x_res, num_heads, sm_scale, n_valid, block_q,
 
 def _apa_vjp_bwd(num_heads, sm_scale, n_valid, block_q, with_residual, res, dxo):
     y, w, wp, qkv, o = res
-    d = y.shape[-1]
+    # qkv slice width from w, not y: under the TP head split w is the
+    # per-shard (D, 3*D/tp) block while y stays full-width (round 5)
+    d = w.shape[1] // 3
     dq, dk, dv, dwp, dbp, db3 = _ap_bwd_impl(
         qkv, o, wp, dxo, num_heads, sm_scale, n_valid
     )
@@ -969,6 +975,142 @@ def _apa_vjp_bwd(num_heads, sm_scale, n_valid, block_q, with_residual, res, dxo)
 
 
 _apa.defvjp(_apa_vjp_fwd, _apa_vjp_bwd)
+
+
+def tp_attend_available(num_heads: int) -> bool:
+    """True when the fused attention core can run under the active non-data
+    mesh axes (round-5, closing the attend_project share of the TP tax):
+
+    - no wrap axes: trivially yes (plain kernel);
+    - model axis >1: the Megatron head split must engage — heads % tp == 0
+      (each shard owns whole heads; per-head qkv column blocks + proj row
+      blocks shard cleanly, one psum at the residual merge);
+    - axes that shard nothing here (e.g. ``expert``): replicate inside the
+      wrapper — correct and all-gather-free because the attention weights
+      are genuinely replicated over those axes."""
+    from . import attention as _att
+
+    wrap = _att._wrap_axes()
+    if not wrap:
+        return True
+    mesh = _att._tp_mesh()
+    axis = _att._TP_STATE["axis"]
+    tp = dict(mesh.shape).get(axis, 1)
+    if axis in wrap and tp > 1:
+        return num_heads % tp == 0
+    return True
+
+
+def attend_project_sharded(y, wq, wk, wv, bq, bk, bv, wp, bp, x_res,
+                           num_heads, sm_scale=None, valid_len=None):
+    """:func:`attend_project` under active non-data mesh axes (TP/EP).
+
+    The Megatron attention split over the ``model`` axis: each shard owns
+    ``num_heads/tp`` whole heads — its qkv slice is the per-head column
+    blocks of wq/wk/wv (``P(None, model)``; heads are output-column blocks,
+    so the qkv biases shard with them, ``P(model)``), its output-projection
+    slice is the matching row block of wp (``P(model, None)``). Attention
+    itself is embarrassingly parallel over heads; the row-parallel proj
+    produces partial sums that psum ONCE in f32 — exactly where the
+    unfused GSPMD path puts its proj all-reduce. The proj bias and the
+    fused residual move outside the psum (each shard adding them would
+    multiply by tp). Axes that shard nothing (``expert``) replicate the
+    whole kernel — the wrapper then only keeps Mosaic out of GSPMD's
+    reach, bit-equal to the unsharded kernel.
+
+    Callers must gate on :func:`tp_attend_available` — when the head split
+    cannot engage under a live model axis this falls back to the plain
+    (unsharded) math, which would force weight all-gathers if jitted with
+    Megatron-sharded params (the Block routes to the unfused attention
+    core in that case, per the ADVICE r4 ln_mlp lesson)."""
+    from . import attention as _att
+
+    d = y.shape[-1]
+    dh = d // num_heads
+    if sm_scale is None:
+        sm_scale = dh**-0.5
+    wrap = _att._wrap_axes()
+
+    def _plain():
+        w = jnp.concatenate([wq, wk, wv], axis=1)
+        b = (jnp.concatenate([bq, bk, bv]) if bq is not None
+             else jnp.zeros((3 * d,), y.dtype))
+        return attend_project(y, w, b, wp, bp, x_res, num_heads,
+                              float(sm_scale), valid_len)
+
+    if not wrap:
+        return _plain()
+    mesh = _att._tp_mesh()
+    axis = _att._TP_STATE["axis"]
+    tp = dict(mesh.shape).get(axis, 1)
+    model = axis if (axis in wrap and tp > 1) else None
+    if model is not None and num_heads % tp != 0:
+        # head split can't engage; do NOT replicate sharded weights inside
+        # shard_map (forced all-gathers) — run the plain path, which GSPMD
+        # shards via the params' own shardings
+        return _plain()
+    if bq is None:
+        bq = bk = bv = jnp.zeros((d,), y.dtype)
+    vl = None if valid_len is None else int(valid_len)
+    if model is None:
+        # nothing sharded: full kernel incl. bias/residual, bit-equal
+        wrapped = _tp_attend_wrapper(mesh, wrap, model, int(num_heads),
+                                     float(sm_scale), vl,
+                                     x_res is not None)
+        args = (y, wq, wk, wv, bq, bk, bv, wp, bp)
+        return wrapped(*(args + ((x_res,) if x_res is not None else ())))
+    wrapped = _tp_attend_wrapper(mesh, wrap, model, int(num_heads),
+                                 float(sm_scale), vl, False)
+    out = wrapped(y, wq, wk, wv, bq, bk, bv, wp, bp)
+    out = out + bp.astype(jnp.float32)
+    if x_res is not None:
+        out = out + x_res.astype(jnp.float32)
+    return out.astype(y.dtype)
+
+
+@functools.lru_cache(maxsize=64)
+def _tp_attend_wrapper(mesh, wrap, model, num_heads, sm_scale, valid_len,
+                       with_residual):
+    """jit(shard_map) cache — same partial-manual lowering constraint as
+    ``attention._tp_flash_wrapper``."""
+    from jax.sharding import PartitionSpec as P
+
+    tp = dict(mesh.shape).get(model, 1) if model is not None else 1
+
+    if model is None:
+        def fn_rep(y, wq, wk, wv, bq, bk, bv, wp, bp, *rest):
+            w = jnp.concatenate([wq, wk, wv], axis=1)
+            b = jnp.concatenate([bq, bk, bv])
+            x_res = rest[0] if rest else None
+            return attend_project(y, w, b, wp, bp, x_res, num_heads,
+                                  sm_scale, valid_len)
+
+        n_in = 10 if with_residual else 9
+        return jax.jit(jax.shard_map(
+            fn_rep, mesh=mesh,
+            in_specs=tuple([P()] * n_in),
+            out_specs=P(),
+            axis_names=frozenset(wrap),
+            check_vma=False,
+        ))
+
+    def fn(y, wq, wk, wv, bq, bk, bv, wp, bp):
+        # per-shard: whole heads; bias/residual added outside the psum
+        w = jnp.concatenate([wq, wk, wv], axis=1)
+        b = jnp.concatenate([bq, bk, bv])
+        d = y.shape[-1]
+        part = attend_project(y, w, b, wp, jnp.zeros((d,), y.dtype), None,
+                              num_heads // tp, sm_scale, valid_len)
+        return jax.lax.psum(part.astype(jnp.float32), model)
+
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(), P(None, model), P(None, model), P(None, model),
+                  P(model), P(model), P(model), P(model, None), P()),
+        out_specs=P(),
+        axis_names=frozenset(wrap),
+        check_vma=False,
+    ))
 
 
 def attend_project(
@@ -1003,7 +1145,7 @@ def attend_project(
             x_res = jnp.pad(x_res, pad)
     with_residual = x_res is not None
     if x_res is None:
-        x_res = jnp.zeros((bsz, 8, d), y.dtype)
+        x_res = jnp.zeros((bsz, 8, w_proj.shape[1]), y.dtype)
     xo = _apa(y, w_qkv, b_qkv, w_proj, b_proj, x_res, num_heads,
               float(sm_scale), n_valid, block_q, with_residual)
     return xo[:, :n]
@@ -1022,10 +1164,15 @@ FORCE_ON_CPU = False
 
 
 def set_fused_block(enabled) -> None:
-    """True/False, or ``"mlp"``: fused ln_mlp only (the TP mode — the
-    attention core runs unfused because ``attend_project`` holds its
-    weights in-kernel unsharded, while :func:`ln_mlp_sharded` shards its
-    weights over the inner shard_map)."""
+    """True/False, or ``"mlp"`` — the TP mode: both fused paths run with
+    their weights sharded over the inner shard_map
+    (:func:`ln_mlp_sharded` Megatron fc1/fc2; round-5
+    :func:`attend_project_sharded` per-head qkv/proj). The attention core
+    drops to the unfused path only when the head split can't engage
+    (``num_heads % tp != 0`` — :func:`tp_attend_available`), and the MLP
+    to dense XLA ops when the hidden split can't (``ln_mlp_sharded``'s
+    own fallback). The historical mode name "mlp" is kept for the
+    trainer's config surface."""
     global FUSED_BLOCK_DEFAULT
     FUSED_BLOCK_DEFAULT = "mlp" if enabled == "mlp" else bool(enabled)
 

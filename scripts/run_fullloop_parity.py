@@ -33,12 +33,14 @@ IMG, N_PER_CHUNK, BATCH, SEED = 64, 48, 12, 7
 CHUNK_ORDER = ("Allen", "HPA", "CP")
 
 
-def _run_reference(fixture: str, out: str, epochs: int) -> dict:
+def _run_reference(fixture: str, out: str, epochs: int,
+                   sample: bool = False) -> dict:
     env = dict(os.environ, JAX_PLATFORMS="cpu", MPLBACKEND="Agg")
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts/run_reference_fixture.py"),
          fixture, out, "--epochs", str(epochs), "--batch", str(BATCH),
-         "--img", str(IMG), "--seed", str(SEED)],
+         "--img", str(IMG), "--seed", str(SEED)]
+        + (["--sample"] if sample else []),
         env=env, capture_output=True, text=True, timeout=3600)
     if r.returncode != 0:
         raise RuntimeError(f"reference run failed:\n{r.stdout[-3000:]}\n{r.stderr[-3000:]}")
@@ -95,7 +97,8 @@ class ReplayLoader:
         return self.iter_batches(0)
 
 
-def _run_ours(fixture: str, out: str, rec: dict, epochs: int) -> dict:
+def _run_ours(fixture: str, out: str, rec: dict, epochs: int,
+              sample: bool = False) -> dict:
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     from diverse_channel_vit_tpu.compile_cache import enable, honor_env_platform
 
@@ -135,6 +138,43 @@ def _run_ours(fixture: str, out: str, rec: dict, epochs: int) -> dict:
         f"{trainer.updates_per_epoch} — lr/wd schedules would diverge")
     trainer.train_loaders[SHUFFLE_ALL].close()
     trainer.train_loaders[SHUFFLE_ALL] = replay
+
+    if sample:
+        # Force the reference's realized HCS draws (shared-draw strategy):
+        # mirror _train_one_batch_morphem, but each chunk's microbatch is
+        # sliced to the recorded subset and the grad step compiled for
+        # exactly those global channel ids (k=None disables our own draw).
+        import jax
+        import numpy as np
+
+        from diverse_channel_vit_tpu.trainer import tree_add
+
+        di = {"i": 0}
+
+        def forced_morphem(batch):
+            grads = None
+            out = {}
+            rng = trainer.state.step_rng()
+            for ci, (chunk, sub) in enumerate(batch.items()):
+                full = list(trainer._chunk_channel_ids(chunk))
+                forced = [int(g) for g in rec["draws"][di["i"]]]
+                di["i"] += 1
+                pos = np.asarray([full.index(g) for g in forced])
+                sub = {"image": sub["image"][:, pos], "label": sub["label"]}
+                gstep = trainer._get_grad_step(tuple(forced), None, chunk=chunk)
+                g, metrics = gstep(trainer.state.params, sub,
+                                   jax.random.fold_in(rng, ci))
+                grads = g if grads is None else tree_add(grads, g)
+                for k_, v in metrics.items():
+                    if k_ == "sampled_channels":
+                        continue
+                    out[f"{chunk}/{k_}"] = float(v)
+            trainer.state, gnorm = trainer._apply_step(trainer.state, grads)
+            out["grad_norm"] = float(gnorm)
+            out["loss"] = sum(v for k_, v in out.items() if k_.endswith("/loss"))
+            return out
+
+        trainer._train_one_batch_morphem = forced_morphem
 
     ours = {"steps": [], "evals": []}
     orig_batch = trainer._train_one_batch_morphem
@@ -244,9 +284,10 @@ def compare(rec: dict, ours: dict, epochs: int) -> dict:
     }
 
 
-def run(workdir: str, epochs: int = 3, reuse_ref: bool = False) -> dict:
+def run(workdir: str, epochs: int = 3, reuse_ref: bool = False,
+        sample: bool = False) -> dict:
     fixture = os.path.join(workdir, "fixture")
-    refdir = os.path.join(workdir, "ref")
+    refdir = os.path.join(workdir, "ref_sample" if sample else "ref")
     if not os.path.exists(os.path.join(fixture, "morphem70k_v2.csv")):
         from scripts.make_chammi_fixture import main as make_fixture
 
@@ -255,10 +296,16 @@ def run(workdir: str, epochs: int = 3, reuse_ref: bool = False) -> dict:
         with open(os.path.join(refdir, "record.json")) as f:
             rec = json.load(f)
     else:
-        rec = _run_reference(fixture, refdir, epochs)
-    ours = _run_ours(fixture, refdir, rec, epochs)
+        rec = _run_reference(fixture, refdir, epochs, sample=sample)
+    if sample:
+        n_calls = len(rec["chunk_losses"])
+        assert rec["meta"]["n_draws"] == n_calls, (
+            "HCS draw count != train forward count — the random.sample hook "
+            "no longer aligns", rec["meta"], n_calls)
+    ours = _run_ours(fixture, refdir, rec, epochs, sample=sample)
     report = compare(rec, ours, epochs)
-    with open(os.path.join(workdir, "parity_report.json"), "w") as f:
+    name = "parity_report_sample.json" if sample else "parity_report.json"
+    with open(os.path.join(workdir, name), "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({k: v for k, v in report.items() if k != "per_chunk"}))
     return report
@@ -269,5 +316,7 @@ if __name__ == "__main__":
     ap.add_argument("workdir", nargs="?", default="/tmp/fullloop_parity")
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--reuse-ref", action="store_true")
+    ap.add_argument("--sample", action="store_true",
+                    help="HCS sampling ON: reference draws live, ours forced")
     args = ap.parse_args()
-    run(args.workdir, args.epochs, args.reuse_ref)
+    run(args.workdir, args.epochs, args.reuse_ref, args.sample)

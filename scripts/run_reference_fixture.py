@@ -122,6 +122,11 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=12)
     ap.add_argument("--img", type=int, default=32)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--sample", action="store_true",
+                    help="enable_sample=True: the HCS draw (random.randint + "
+                         "random.sample, channel_vit.py:79-86) runs LIVE in "
+                         "every training forward; realized subsets are "
+                         "recorded for forced replay")
     args = ap.parse_args(argv)
 
     os.makedirs(args.out, exist_ok=True)
@@ -142,7 +147,30 @@ def main(argv=None):
     sys.modules["models"].model_utils = importlib.import_module("models.model_utils")
     trainer_mod = importlib.import_module("trainer")
 
-    rec = {"schedule": [], "steps": [], "chunk_losses": [], "evals": []}
+    rec = {"schedule": [], "steps": [], "chunk_losses": [], "evals": [],
+           "draws": []}
+
+    # ---- HCS sampling mode: record the realized channel draws ------------
+    # With enable_sample=True and hcs_sampling="none" the DiChaViT forward
+    # draws Cin_new = random.randint(1, Cin) then
+    # random.sample(cur_channels, k=Cin_new) (dichavit.py:130-136, mirroring
+    # channel_vit.py:79-86). Wrapping the module's `random` binding records
+    # each realized subset (global channel ids, in order) without touching
+    # the sampling logic.
+    if args.sample:
+        import random as _random
+        import types as _types
+
+        rnd = _types.SimpleNamespace(**{k: getattr(_random, k) for k in dir(_random)
+                                        if not k.startswith("_")})
+
+        def rec_sample(pop, k):
+            v = _random.sample(pop, k)
+            rec["draws"].append([int(c) for c in v])
+            return v
+
+        rnd.sample = rec_sample
+        dichavit_mod.random = rnd
 
     # ---- deterministic transforms: eval pipeline for train AND eval ------
     orig_gdt = du.get_data_transform
@@ -239,6 +267,14 @@ def main(argv=None):
 
     cfg = build_cfg(args.root, args.out, epochs=args.epochs, batch=args.batch,
                     img=args.img, seed=args.seed)
+    if args.sample:
+        cfg.model.enable_sample = True
+        # the draw order must be deterministic given the seed so re-runs of
+        # this recorder are reproducible (replay uses the RECORDED draws
+        # either way)
+        import random as _r
+
+        _r.seed(args.seed * 7919)
     trainer = trainer_mod.Trainer(cfg)
     torch.save({"model_params": trainer.model.state_dict()},
                os.path.join(args.out, "init_model.pt"))
@@ -266,7 +302,8 @@ def main(argv=None):
     rec["extras"] = extras
     rec["meta"] = dict(epochs=args.epochs, batch=args.batch, img=args.img,
                        seed=args.seed, steps_per_epoch=steps_per_epoch,
-                       n_train_rows=len(train_set))
+                       n_train_rows=len(train_set), sample=bool(args.sample),
+                       n_draws=len(rec["draws"]))
     with open(os.path.join(args.out, "record.json"), "w") as f:
         json.dump(rec, f)
     print(json.dumps({"ok": True, "steps": len(rec["steps"]),

@@ -1,17 +1,29 @@
-"""Convergence-level quality for the throughput knobs (VERDICT r3 item 3).
+"""Convergence-level quality for the throughput knobs (VERDICT r3 item 3,
+de-ceilinged per VERDICT r4 item 1).
 
 The headline bench levers — EViT ``keep_rate`` pruning, PPT block_v2
-pruning, int8 fused-MLP GEMMs — are quality-bearing knobs in the reference
-(``models/vit.py:291-343``); their prior evidence here was 120-200-step
-single-batch loss probes. This trains the synthetic e2e task THROUGH the
-real Trainer to convergence at the flagship-engaging geometry (224 px,
-8 channels, ViT-S d=384 dh=64 — every fused/int8/pruning gate active) for
-dense vs each knob, and reports the eval-accuracy deltas that belong next
-to the bench metrics (``evit_*`` / ``int8_*``).
+pruning, int8 fused-MLP GEMMs, bf16 compute — are quality-bearing knobs in
+the reference (``models/vit.py:291-343``; AMP role ``trainer.py:237-238``).
+Round 4 measured them on a linearly-separable task where EVERY config hit
+eval accuracy 1.000 — a ceiling, not a measurement. This version trains the
+``difficulty=hard`` synthetic task (per-class spatial patch template at a
+random token + near-amplitude distractor templates of other classes —
+matched-filter oracle accuracy ~0.91, see data/synthetic.py) through the
+real Trainer's epoch loop, over multiple seeds, and reports mean±std
+eval-accuracy deltas vs the bf16 dense baseline at the 0.5-pt resolution
+the north star (BASELINE.json) is stated in.
+
+TPU-native data staging: the synthetic train/eval sets are FIXED, so they
+ship to the device ONCE per run and batches are device-resident gathers —
+the per-epoch tunnel transfer that made the naive loader path
+minutes-per-epoch on this tunneled host disappears (training then runs at
+compute speed). The Trainer's own ``train_one_epoch`` (meters, schedules,
+jitted steps) still drives every update.
 
 Run WITHOUT JAX_PLATFORMS (int8 + fused paths need the MXU):
-    python scripts/train_quality_knobs.py [epochs]
-Prints one JSON line per config, then a summary JSON.
+    python scripts/train_quality_knobs.py [epochs] [configs] [seeds]
+e.g.    python scripts/train_quality_knobs.py 40 dense,int8 11,12,13
+Prints one JSON line per run, then a summary JSON.
 """
 
 import json
@@ -21,19 +33,80 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from diverse_channel_vit_tpu.compile_cache import enable
+from diverse_channel_vit_tpu.compile_cache import enable, honor_env_platform
 
 enable()
+honor_env_platform()
 
 CONFIGS = {
     "dense": [],
     "evit_keep07": ["++model.keep_rate=0.7"],
     "ppt_kc6": ["++model.block_type=block_v2", "++model.token_keep_channels=6"],
     "int8": ["++model.quantization=int8"],
+    "f32": ["++train.dtype=float32"],
 }
 
+SEEDS = [11, 12, 13]
+N_TRAIN = int(os.environ.get("QK_TRAIN", 2048))
+N_EVAL = int(os.environ.get("QK_EVAL", 2048))
+BATCH = 64
+EVAL_EVERY = 4
+# hard-task difficulty (calibrated so dense converges BELOW 1.0 but well
+# above chance; see data/synthetic.py)
+ALPHA = float(os.environ.get("QK_ALPHA", 1.0))
+BETA = float(os.environ.get("QK_BETA", 0.9))
+LR = os.environ.get("QK_LR", "0.0004")
 
-def run(name: str, extra, epochs: int, tmp: str) -> dict:
+
+class DeviceResidentLoader:
+    """Serves per-epoch shuffled batches as gathers from a device-resident
+    array — drop-in for the trainer's host loader (set_epoch/len/iter)."""
+
+    def __init__(self, x_dev, y_dev, batch: int, seed: int):
+        self.x, self.y = x_dev, y_dev
+        self.batch = int(batch)
+        self.seed = int(seed)
+        self._epoch = 1
+        self.n = int(x_dev.shape[0])
+
+    def set_epoch(self, epoch: int):
+        self._epoch = int(epoch)
+
+    def close(self):
+        pass
+
+    def __len__(self):
+        return self.n // self.batch
+
+    def __iter__(self):
+        import numpy as np
+
+        perm = np.random.default_rng(self.seed * 131 + self._epoch).permutation(self.n)
+        for s in range(len(self)):
+            idx = perm[s * self.batch:(s + 1) * self.batch]
+            yield {"image": self.x[idx], "label": self.y[idx]}
+
+
+def _build_split(split: str, n: int, seed: int):
+    import numpy as np
+
+    from diverse_channel_vit_tpu.data.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(
+        split=split, num_samples=n, num_classes=10, num_channels=8,
+        img_size=144, seed=seed, difficulty="hard", patch=16,
+        alpha=ALPHA, beta=BETA, distractors=2)
+    exs = [ds.get_example(i) for i in range(n)]
+    xs = np.stack([e["image"] for e in exs])
+    ys = np.asarray([e["label"] for e in exs], np.int32)
+    return xs, ys
+
+
+def run(name: str, extra, epochs: int, seed: int, tmp: str) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from diverse_channel_vit_tpu.config import load_config
     from diverse_channel_vit_tpu.trainer import Trainer
 
@@ -42,24 +115,58 @@ def run(name: str, extra, epochs: int, tmp: str) -> dict:
         # 649 tokens, lane-padded to 768 within the 1.20 fused cap — the
         # fused ln_mlp (and therefore int8) actually engages, unlike 128 px
         # where 513 -> 640 exceeds the cap and the fused gate stays closed.
-        # (img 224 is transfer-bound on this tunneled host; the knob DELTAS
-        # are geometry-independent once the gates engage.)
         "++model.img_size=[144]", "++model.patch_size=16",
         "++model.pretrained_model_name=small",
-        "++dataset.img_size=144", "++dataset.num_channels=8",
-        "++dataset.num_classes=10",
-        "++dataset.num_train_samples=512", "++dataset.num_eval_samples=256",
-        f"++train.num_epochs={epochs}", "++train.batch_size=64",
-        "++optimizer.params.lr=0.0004", "++scheduler.params.warmup_t=3",
-        "++train.seed=11", "++eval.every_n_epochs=5",
-        f"++train.checkpoints={tmp}/{name}", "++train.save_model=none",
+        "++dataset.img_size=144", "++dataset.num_classes=10",
+        f"++dataset.num_train_samples={N_TRAIN}",
+        f"++dataset.num_eval_samples={N_EVAL}",
+        "++dataset.difficulty=hard",
+        f"++train.num_epochs={epochs}", f"++train.batch_size={BATCH}",
+        f"++optimizer.params.lr={LR}", "++scheduler.params.warmup_t=3",
+        f"++train.seed={seed}", "++eval.skip_eval_first_epoch=True",
+        f"++train.checkpoints={tmp}/{name}_s{seed}", "++train.save_model=none",
         "++hardware.num_workers=0",
         *extra,
     ])
     t0 = time.perf_counter()
     trainer = Trainer(cfg)
-    best = trainer.train()
-    out = {"config": name, "best_eval_acc": round(float(best), 4),
+
+    # ---- stage the fixed datasets on device ONCE ------------------------
+    xs, ys = _build_split("train", N_TRAIN, seed)
+    x_dev = jnp.asarray(xs, trainer.dtype)
+    y_dev = jnp.asarray(ys)
+    xe, ye = _build_split("test", N_EVAL, seed)
+    xe_dev = jnp.asarray(xe, trainer.dtype)
+    del xs, xe
+    key = next(iter(trainer.train_loaders))
+    old = trainer.train_loaders[key]
+    if hasattr(old, "close"):
+        old.close()
+    trainer.train_loaders = {
+        key: DeviceResidentLoader(x_dev, y_dev, BATCH, seed)}
+
+    cids = jnp.arange(8)
+    eval_step = trainer._get_eval_step(trainer._default_chunk)
+
+    def device_eval() -> float:
+        correct = 0
+        for s in range(0, N_EVAL, 256):
+            logits = eval_step(trainer.state.params, xe_dev[s:s + 256], cids)
+            correct += int(np.sum(np.asarray(jnp.argmax(logits, -1)) == ye[s:s + 256]))
+        return correct / N_EVAL
+
+    best, best_epoch, curve = 0.0, 0, []
+    for e in range(1, epochs + 1):
+        tm = trainer.train_one_epoch(e)
+        if e % EVAL_EVERY == 0 or e == epochs:
+            acc = device_eval()
+            curve.append([e, round(acc, 4), round(float(tm.get("acc", -1)), 4)])
+            if acc > best:
+                best, best_epoch = acc, e
+    out = {"config": name, "seed": seed,
+           "best_eval_acc": round(float(best), 4), "best_epoch": best_epoch,
+           "final_eval_acc": curve[-1][1] if curve else None,
+           "curve": curve,
            "minutes": round((time.perf_counter() - t0) / 60, 1)}
     print(json.dumps(out), flush=True)
     return out
@@ -68,16 +175,34 @@ def run(name: str, extra, epochs: int, tmp: str) -> dict:
 def main():
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     only = sys.argv[2].split(",") if len(sys.argv) > 2 else list(CONFIGS)
+    seeds = ([int(s) for s in sys.argv[3].split(",")]
+             if len(sys.argv) > 3 else SEEDS)
     tmp = "/tmp/quality_knobs"
     os.makedirs(tmp, exist_ok=True)
-    results = {}
-    for name, extra in ((n, CONFIGS[n]) for n in only):
-        results[name] = run(name, extra, epochs, tmp)
-    if "dense" in results:
-        dense = results["dense"]["best_eval_acc"]
-        for name, r in results.items():
-            r["delta_vs_dense"] = round(r["best_eval_acc"] - dense, 4)
-    print(json.dumps(results))
+    runs = {n: [] for n in only}
+    for seed in seeds:
+        for name in only:
+            runs[name].append(run(name, CONFIGS[name], epochs, seed, tmp))
+
+    def _stats(rs):
+        accs = [r["best_eval_acc"] for r in rs]
+        mean = sum(accs) / len(accs)
+        var = sum((a - mean) ** 2 for a in accs) / max(len(accs) - 1, 1)
+        return mean, var ** 0.5
+
+    summary = {}
+    for name, rs in runs.items():
+        mean, std = _stats(rs)
+        summary[name] = {"accs": [r["best_eval_acc"] for r in rs],
+                         "mean": round(mean, 4), "std": round(std, 4)}
+    if "dense" in summary:
+        dense = summary["dense"]["mean"]
+        for name, s in summary.items():
+            s["delta_vs_dense_pt"] = round((s["mean"] - dense) * 100, 2)
+    print(json.dumps(summary))
+    with open(os.path.join(tmp, "summary.json"), "w") as f:
+        json.dump({"epochs": epochs, "seeds": seeds, "summary": summary,
+                   "runs": runs}, f, indent=1)
 
 
 if __name__ == "__main__":
