@@ -47,6 +47,12 @@ SECTION_DEFAULTS = {
         "log_every_n_steps": 50,
         "profile_dir": None,  # write a JAX profiler trace of the run here
         "log_memory": False,  # per-epoch HBM live/peak + host RSS telemetry
+        # host-RSS watermark recycling (round 5, from the r4 soak finding:
+        # the axon tunnel client retains 1:1 transferred bytes per process).
+        # When host RSS exceeds this many GB at an epoch boundary, the
+        # trainer saves the preemption checkpoint and re-execs itself; the
+        # relaunch auto-resumes bit-identically and RSS resets. None = off.
+        "max_host_rss_gb": None,
         "auto_resume": True,  # resume from a preemption (SIGTERM) checkpoint
         "resume_mid_epoch": True,  # re-enter the interrupted epoch at the exact batch
         "async_checkpoint": False,  # epoch saves commit on a background thread

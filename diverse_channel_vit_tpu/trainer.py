@@ -19,6 +19,7 @@ from __future__ import annotations
 import math
 import os
 import shutil
+import sys
 import time
 from typing import Dict, Optional
 
@@ -60,6 +61,18 @@ from .models.wrappers import model_scale
 from .utils.misc import AverageMeter, Timer, set_seeds
 
 SHUFFLE_ALL = "SHUFFLE_ALL"
+
+
+def _host_rss_gb() -> Optional[float]:
+    """This process's resident set size in GB (None off-Linux)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 2**20
+    except OSError:
+        pass
+    return None
 
 
 def _default(val, fallback):
@@ -831,15 +844,9 @@ class Trainer:
                             mem[f"mem/{dst}"] = round(stats[src] / 2**20, 1)
                 except Exception:
                     pass
-                try:
-                    with open("/proc/self/status") as f:
-                        for line in f:
-                            if line.startswith("VmRSS"):
-                                mem["mem/host_rss_mb"] = round(
-                                    int(line.split()[1]) / 1024, 1)
-                                break
-                except OSError:
-                    pass
+                rss = _host_rss_gb()
+                if rss is not None:
+                    mem["mem/host_rss_mb"] = round(rss * 1024, 1)
                 if mem:
                     self.logger.info(mem)
             if self.channel_counter:
@@ -866,6 +873,26 @@ class Trainer:
             self.logger.info(
                 f"epoch {epoch} done in {timer.lap():.1f}s, ETA {timer.eta(epoch - self.start_epoch + 1, self.total_epochs - self.start_epoch + 1):.0f}s"
             )
+            if self._should_recycle(epoch):
+                # host-RSS watermark recycling (train.max_host_rss_gb —
+                # SURVEY §5 failure detection, r4 soak finding): the axon
+                # tunnel client retains host memory 1:1 with transferred
+                # bytes and only a process exit releases it. The proven
+                # preempt/auto-resume machinery makes recycling free: save
+                # the stable-path checkpoint, re-exec this process, and the
+                # relaunch resumes bit-identically at the next epoch.
+                self._save_preempt(epoch)
+                wait_for_checkpoints()
+                if profile_dir:
+                    jax.profiler.stop_trace()
+                self._preempt_guard.restore()
+                self.logger.finish(
+                    f"host RSS over train.max_host_rss_gb after epoch "
+                    f"{epoch} — recycling the process (auto-resume will "
+                    f"continue at epoch {epoch + 1})"
+                )
+                self._reexec()
+                return best_acc  # reached only when _reexec is stubbed
         if profile_dir:
             jax.profiler.stop_trace()
             self.logger.info(f"profiler trace written to {profile_dir}")
@@ -881,6 +908,40 @@ class Trainer:
             shutil.rmtree(self.preempt_dir, ignore_errors=True)
         self.logger.finish(f"training done: best_acc={best_acc:.4f} (epoch {best_epoch})")
         return best_acc
+
+    def _should_recycle(self, epoch: int) -> bool:
+        """True when host RSS exceeds ``train.max_host_rss_gb`` at this
+        epoch boundary and recycling is safe: single-process (re-exec of
+        one host would desync a multi-host job), auto_resume on (else the
+        relaunch would start over), and not the final epoch."""
+        cap = self.cfg.train.get("max_host_rss_gb")
+        if not cap or epoch >= self.total_epochs or self.debug:
+            return False
+        if not self.cfg.train.get("auto_resume", True):
+            return False
+        if jax.process_count() > 1:
+            if not getattr(self, "_warned_recycle_multihost", False):
+                self._warned_recycle_multihost = True
+                self.logger.info(
+                    "train.max_host_rss_gb ignored: multi-host job (re-exec "
+                    "of one process would desync the group)"
+                )
+            return False
+        rss = _host_rss_gb()
+        if rss is None or rss <= float(cap):
+            return False
+        self.logger.info(
+            f"host RSS {rss:.2f} GB > train.max_host_rss_gb={float(cap):g}"
+        )
+        return True
+
+    def _reexec(self):  # pragma: no cover — exercised via the stubbed test
+        """Replace this process with a fresh launch of the same command.
+        Flushes Python-side buffers first; the preemption checkpoint has
+        already been committed by the caller."""
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os.execv(sys.executable, [sys.executable] + sys.argv)
 
     def _save_preempt(self, last_completed_epoch: int, *, resume_epoch=None,
                       resume_batch=None):

@@ -229,3 +229,61 @@ def test_preempt_resume_under_zero3(tmp_path, monkeypatch):
         jax.tree_util.tree_leaves(tb2.state.params),
     ):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_rss_watermark_recycling(tmp_path, monkeypatch):
+    """``train.max_host_rss_gb`` (round 5, from the r4 soak finding): when
+    host RSS crosses the cap at an epoch boundary the trainer saves the
+    preemption checkpoint and re-execs itself; the relaunch auto-resumes
+    bit-identically. The re-exec is stubbed; the loss trajectory of
+    (recycled run 1 -> resumed run 2) must equal an uninterrupted run."""
+    losses = {}
+
+    orig = Trainer.train_one_epoch
+
+    def recording_epoch(self, epoch, start_batch=0):
+        out = orig(self, epoch, start_batch=start_batch)
+        losses.setdefault(id(self), {})[epoch] = out["loss"]
+        return out
+
+    monkeypatch.setattr(Trainer, "train_one_epoch", recording_epoch)
+
+    # uninterrupted baseline
+    base = Trainer(_cfg(tmp_path, [f"train.checkpoints={tmp_path}/base"]))
+    base.train()
+    base_losses = losses[id(base)]
+
+    # capped run: cap of 0 GB -> every epoch boundary is "over"
+    recycled = []
+    monkeypatch.setattr(Trainer, "_reexec", lambda self: recycled.append(True))
+    t1 = Trainer(_cfg(tmp_path, ["++train.max_host_rss_gb=1e-9"]))
+    t1.train()
+    assert recycled == [True]  # recycled after epoch 1, then returned
+    assert os.path.isdir(os.path.join(t1.preempt_dir, "model_preempt"))
+
+    # "relaunch": auto-resume continues at epoch 2 with identical state
+    t2 = Trainer(_cfg(tmp_path, ["++train.max_host_rss_gb=1e-9"]))
+    assert t2.start_epoch == 2
+    np.testing.assert_array_equal(
+        np.asarray(t1.state.params["backbone"]["channel_embed"]),
+        np.asarray(t2.state.params["backbone"]["channel_embed"]),
+    )
+    t2.train()
+    # each epoch boundary under the cap recycles again (sawtooth) — run 2
+    # covered epoch 2 then recycled; run 3 finishes
+    t3 = Trainer(_cfg(tmp_path, ["++train.max_host_rss_gb=1e-9"]))
+    assert t3.start_epoch == 3
+    t3.train()
+    got = {**losses[id(t1)], **losses[id(t2)], **losses[id(t3)]}
+    assert set(got) == set(base_losses)
+    for e in base_losses:
+        np.testing.assert_allclose(got[e], base_losses[e], rtol=1e-6)
+
+
+def test_rss_recycling_respects_auto_resume_opt_out(tmp_path, monkeypatch):
+    called = []
+    monkeypatch.setattr(Trainer, "_reexec", lambda self: called.append(True))
+    t = Trainer(_cfg(tmp_path, ["++train.max_host_rss_gb=1e-9",
+                                "++train.auto_resume=False"]))
+    t.train()
+    assert called == []  # recycling disabled without auto-resume
