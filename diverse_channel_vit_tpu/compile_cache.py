@@ -74,6 +74,61 @@ def enable(cache_dir: str = _DEFAULT_DIR) -> None:
         print(f"[compile_cache] disabled ({e})")
 
 
+def filter_benign_aot_warnings() -> None:
+    """Drop XLA:CPU AOT "machine feature mismatch" warnings caused ONLY by
+    the ``+prefer-no-gather``/``+prefer-no-scatter`` pseudo-features.
+
+    XLA:CPU bakes those compiler *preferences* into the serialized
+    executable's target-feature string; at deserialize time it compares
+    against the host's REAL CPU features, which never contain them — so
+    every reload of a cached CPU blob warns about a SIGILL risk that cannot
+    exist (same host, and the named "feature" is not an ISA bit;
+    cpu_aot_loader.cc:210 prints the one missing feature it found first).
+    The warning is written by C++ directly to fd 2, so suppression must
+    happen at the fd level: fd 2 is redirected through a pipe and a pump
+    thread forwards every line except those naming a ``+prefer-no-*``
+    pseudo-feature. A mismatch naming any REAL feature passes through.
+
+    Installed by the driver-facing entry points (``__graft_entry__``,
+    ``main.py``) so driver artifacts (MULTICHIP_r*.json tails) contain leg
+    results, not a warning wall (VERDICT r4 item 8). Idempotent."""
+    import threading
+
+    if getattr(filter_benign_aot_warnings, "_installed", False):
+        return
+    filter_benign_aot_warnings._installed = True
+    try:
+        real = os.dup(2)
+        r, w = os.pipe()
+        os.dup2(w, 2)
+        os.close(w)
+    except OSError:  # pragma: no cover — exotic fd setups
+        return
+
+    def _benign(line: bytes) -> bool:
+        return (b"cpu_aot_loader" in line
+                and b"Target machine feature +prefer-no-" in line)
+
+    def pump():
+        buf = b""
+        while True:
+            try:
+                chunk = os.read(r, 65536)
+            except OSError:
+                break
+            if not chunk:
+                break
+            buf += chunk
+            *lines, buf = buf.split(b"\n")
+            for line in lines:
+                if not _benign(line):
+                    os.write(real, line + b"\n")
+        if buf and not _benign(buf):
+            os.write(real, buf)
+
+    threading.Thread(target=pump, daemon=True, name="aot-warn-filter").start()
+
+
 def honor_env_platform() -> None:
     """Re-apply ``JAX_PLATFORMS`` after import.
 

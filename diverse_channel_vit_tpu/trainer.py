@@ -1099,6 +1099,10 @@ class Trainer:
         step = self._get_train_step(cids, k, chunk=self._default_chunk)
         rng = self.state.step_rng()
         self.state, metrics = step(self.state, batch, rng)
+        # ONE host readback for the whole metrics dict: per-scalar float()
+        # costs one tunnel round-trip each on remote-TPU hosts (measured
+        # ~1 s/step of pure sync at 8 metrics on the axon tunnel)
+        metrics = jax.device_get(metrics)
         return {
             k_: (v if k_ == "sampled_channels" else float(v))
             for k_, v in metrics.items()
@@ -1115,6 +1119,7 @@ class Trainer:
             gstep = self._get_grad_step(cids, k, chunk=chunk)
             g, metrics = gstep(self.state.params, sub, jax.random.fold_in(rng, ci))
             grads = g if grads is None else tree_add(grads, g)
+            metrics = jax.device_get(metrics)  # one readback per microbatch
             for k_, v in metrics.items():
                 if k_ == "sampled_channels":
                     # global channel ids from every chunk feed one counter

@@ -33,10 +33,14 @@ def maybe_init_distributed():
     # honor JAX_PLATFORMS even when a sitecustomize preloaded jax before the
     # env var could take effect (e.g. JAX_PLATFORMS=cpu python main.py ...)
     from diverse_channel_vit_tpu.compile_cache import enable as _enable_cache
-    from diverse_channel_vit_tpu.compile_cache import honor_env_platform
+    from diverse_channel_vit_tpu.compile_cache import (
+        filter_benign_aot_warnings,
+        honor_env_platform,
+    )
 
     _enable_cache()
     honor_env_platform()
+    filter_benign_aot_warnings()
     if os.environ.get("JAX_COORDINATOR_ADDRESS") or int(os.environ.get("JAX_NUM_PROCESSES", "1")) > 1:
         jax.distributed.initialize()
 

@@ -139,11 +139,25 @@ def test_expert_only_mesh_replicates_bit_equal():
                                np.asarray(want, np.float32), atol=0, rtol=0)
 
 
-def test_tp_step_with_fused_attention_has_no_allgathers():
-    """Full dp x tp "mlp"-mode train step at a geometry where the head
-    split ENGAGES (H=4, tp=2): the communication contract must still hold —
-    zero all-gathers/permutes, attention + MLP each contributing only
-    all-reduces."""
+def _count_fused_calls(monkeypatch):
+    """Engagement guard: the Block's %8-token gate silently drops to the
+    unfused path at careless geometries (C*(IMG/P)^2+1 must be %8) — these
+    full-step tests count the sharded-entry calls so they can never pass
+    vacuously."""
+    calls = {"ap": 0, "mlp": 0}
+    orig_ap, orig_mlp = fb.attend_project_sharded, fb.ln_mlp_sharded
+    monkeypatch.setattr(fb, "attend_project_sharded", lambda *a, **k: (
+        calls.__setitem__("ap", calls["ap"] + 1), orig_ap(*a, **k))[1])
+    monkeypatch.setattr(fb, "ln_mlp_sharded", lambda *a, **k: (
+        calls.__setitem__("mlp", calls["mlp"] + 1), orig_mlp(*a, **k))[1])
+    return calls
+
+
+def test_tp_step_with_fused_attention_has_no_allgathers(monkeypatch):
+    """Full dp x tp "mlp"-mode train step at a geometry where the fused
+    gates AND the head split engage (64 tokens, H=4, tp=2): the
+    communication contract must still hold — zero all-gathers/permutes,
+    attention + MLP each contributing only all-reduces."""
     import re
 
     from diverse_channel_vit_tpu.models.channel_vit import ChannelVisionTransformer
@@ -152,7 +166,8 @@ def test_tp_step_with_fused_attention_has_no_allgathers():
     from diverse_channel_vit_tpu.training import create_train_state, make_optimizer
     from diverse_channel_vit_tpu.training.steps import make_train_step
 
-    C, IMG, PATCH = 4, 32, 16
+    calls = _count_fused_calls(monkeypatch)
+    C, IMG, PATCH = 7, 48, 16  # 7*9+1 = 64 tokens (%8 gate open)
     backbone = ChannelVisionTransformer(
         num_total_channels=C, img_size=IMG, patch_size=PATCH, embed_dim=D,
         depth=2, num_heads=H, attention_impl="pallas", dtype=jnp.bfloat16)
@@ -182,13 +197,14 @@ def test_tp_step_with_fused_attention_has_no_allgathers():
     finally:
         fb.set_fused_block(old)
         A.set_tp_attention(None)
+    assert calls["ap"] >= 2 and calls["mlp"] >= 2, calls  # depth-2 engagement
     for op in ("all-gather", "collective-permute", "all-to-all"):
         bad = [l for l in txt.splitlines()
                if re.search(r"= *\(?.*" + op + r"(-start)?\(", l)]
         assert not bad, (op, bad[:3])
 
 
-def test_tp_step_with_fused_attention_matches_unsharded():
+def test_tp_step_with_fused_attention_matches_unsharded(monkeypatch):
     """Loss/grad_norm parity of the full TP step with the sharded fused
     attention core engaged vs the unsharded fused step."""
     from diverse_channel_vit_tpu.models.channel_vit import ChannelVisionTransformer
@@ -197,7 +213,8 @@ def test_tp_step_with_fused_attention_matches_unsharded():
     from diverse_channel_vit_tpu.training import create_train_state, make_optimizer
     from diverse_channel_vit_tpu.training.steps import make_train_step
 
-    C, IMG, PATCH = 4, 32, 16
+    calls = _count_fused_calls(monkeypatch)
+    C, IMG, PATCH = 7, 48, 16  # 64 tokens: fused gates open
     backbone = ChannelVisionTransformer(
         num_total_channels=C, img_size=IMG, patch_size=PATCH, embed_dim=D,
         depth=2, num_heads=H, proxy_loss_lambda=1e-3,
@@ -239,6 +256,7 @@ def test_tp_step_with_fused_attention_matches_unsharded():
         fb.set_fused_block(old)
         A.set_tp_attention(None)
 
+    assert calls["ap"] >= 4 and calls["mlp"] >= 4, calls  # both steps engaged
     np.testing.assert_allclose(float(m_tp["loss"]), float(m_ref["loss"]),
                                rtol=2e-2)
     np.testing.assert_allclose(float(m_tp["grad_norm"]), float(m_ref["grad_norm"]),
