@@ -193,6 +193,9 @@ def jax_dinov2_backbone(weights_path: str, *, num_heads: int | None = None):
     return run, dim
 
 
+_BACKBONE_CACHE: dict = {}
+
+
 def get_save_features(
     root_dir: str,
     file_name: str,
@@ -207,14 +210,24 @@ def get_save_features(
 ):
     ds = SingleCellDataset(root_dir, file_name=file_name, chunk_name=dataset,
                            is_train=False, img_size=img_size)
-    if model == "convnext_jax":
-        run, _ = jax_convnext_backbone(weights)
-    elif model == "dinov2_jax":
-        run, _ = jax_dinov2_backbone(weights, num_heads=heads)
-    elif model in ("resnet18_jax", "resnet34_jax"):
-        run, _ = jax_resnet_backbone(weights)
+    # memoize backbones per (model, weights): per-chunk calls must share
+    # ONE set of jitted executables — rebuilding per chunk loses the
+    # in-process jit cache and re-pays compile/load on every chunk
+    # (measured: the per-chunk wall was dominated by it)
+    key = (model, weights, heads)
+    cached = _BACKBONE_CACHE.get(key)
+    if cached is not None:
+        run = cached
     else:
-        run, _ = torch_backbone(model, weights)
+        if model == "convnext_jax":
+            run, _ = jax_convnext_backbone(weights)
+        elif model == "dinov2_jax":
+            run, _ = jax_dinov2_backbone(weights, num_heads=heads)
+        elif model in ("resnet18_jax", "resnet34_jax"):
+            run, _ = jax_resnet_backbone(weights)
+        else:
+            run, _ = torch_backbone(model, weights)
+        _BACKBONE_CACHE[key] = run
 
     device_fwd = getattr(run, "device_fwd", None)
     if device_fwd is None:
@@ -243,17 +256,19 @@ def get_save_features(
         import jax.numpy as jnp
 
         patch = getattr(run, "patch", None)
-
-        @jax.jit
-        def chan_fwd(x):  # (B, C, H, W) -> (B*C, F)
-            b, c, h, w = x.shape
-            x = x.reshape(b * c, 1, h, w)
-            x = jnp.broadcast_to(x, (b * c, 3, h, w))
-            if patch is not None:  # dinov2: pad to patch multiples on device
-                ph = (-h) % patch
-                pw = (-w) % patch
-                x = jnp.pad(x, ((0, 0), (0, 0), (0, ph), (0, pw)))
-            return device_fwd(x)
+        chan_fwd = getattr(run, "chan_fwd", None)
+        if chan_fwd is None:
+            @jax.jit
+            def chan_fwd(x):  # (B, C, H, W) -> (B*C, F)
+                b, c, h, w = x.shape
+                x = x.reshape(b * c, 1, h, w)
+                x = jnp.broadcast_to(x, (b * c, 3, h, w))
+                if patch is not None:  # dinov2: pad to patch multiples on device
+                    ph = (-h) % patch
+                    pw = (-w) % patch
+                    x = jnp.pad(x, ((0, 0), (0, 0), (0, ph), (0, pw)))
+                return device_fwd(x)
+            run.chan_fwd = chan_fwd
 
         loader = BatchLoader(ds, batch_size=batch_size, shuffle=False,
                              pad_last=True)

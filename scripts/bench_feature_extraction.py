@@ -62,10 +62,14 @@ def main():
     chunk_channels = {"Allen": 3, "HPA": 4, "CP": 5}
     t_all = time.perf_counter()
     out = {}
-    # warmup/compile pass on the smallest chunk (not timed)
-    get_save_features(fixture, "morphem70k_v2.csv", "Allen", dest,
-                      model="dinov2_jax", weights=weights, img_size=224,
-                      batch_size=32)
+    # warmup/compile pass over EVERY chunk (not timed): chan_fwd compiles
+    # per channel count, so each chunk's first pass pays a compile — the
+    # throughput claim is steady-state (the backbone + executables are
+    # shared across calls via the module-level memo)
+    for chunk in chunk_channels:
+        get_save_features(fixture, "morphem70k_v2.csv", chunk, dest,
+                          model="dinov2_jax", weights=weights, img_size=224,
+                          batch_size=32)
     for chunk, c in chunk_channels.items():
         t0 = time.perf_counter()
         get_save_features(fixture, "morphem70k_v2.csv", chunk, dest,
